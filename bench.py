@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Benchmark the infercnv smoothing pipeline on the available accelerator.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Baseline: the reference (icbi-lab/infercnvpy) runs 183 cells x ~5.9k stride-1
+windows x 100-wide pyramid windows in 462 ms on CPU — ~2.3e8 cell-gene-window
+ops/s effective (BASELINE.md).  vs_baseline = our ops/s / 2.3e8.
+
+Methodology notes (important on remote/tunneled TPU backends):
+* input data is generated ON DEVICE (no host->device transfer in the loop);
+* the pipeline is iterated INSIDE one jitted program (lax.fori_loop) with a
+  loop-carried perturbation of the tiny reference baseline, so XLA cannot
+  hoist the loop body; per-iteration time = (t(K) - t(1)) / (K - 1);
+* timing is closed by fetching a scalar accumulator (device->host sync),
+  which is robust even where block_until_ready is unreliable.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+import numpy as np
+import pandas as pd
+
+BASELINE_OPS_PER_SEC = 2.3e8  # reference CPU effective rate (BASELINE.md)
+
+
+def _make_var(n_genes: int, seed: int = 0) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    sizes = np.array([248, 242, 198, 190, 181, 171, 159, 145, 138, 134, 135, 133,
+                      114, 107, 102, 90, 83, 80, 59, 64, 47, 51], dtype=float)
+    counts = np.maximum(1, (sizes / sizes.sum() * n_genes)).astype(int)
+    counts[0] += n_genes - counts.sum()
+    rows = []
+    for c, k in enumerate(counts):
+        starts = np.sort(rng.integers(1, int(sizes[c] * 1e6), size=k))
+        for s in starts:
+            rows.append((f"chr{c + 1}", int(s)))
+    var = pd.DataFrame(rows, columns=["chromosome", "start"])
+    var["end"] = var["start"] + 1000
+    return var
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from infercnvpy_tpu.genome import build_window_plan
+    from infercnvpy_tpu.ops.infercnv_kernel import build_infercnv_fn, packed_width
+
+    n_cells = int(float(sys.argv[1])) if len(sys.argv) > 1 else 16384
+    n_genes = int(float(sys.argv[2])) if len(sys.argv) > 2 else 20000
+    window, step = 100, 10
+
+    var = _make_var(n_genes)
+    plan = build_window_plan(var, window, step)
+    width = packed_width(plan)
+    chunksize = 5000
+    num_chunks = -(-n_cells // chunksize)
+
+    base = build_infercnv_fn(
+        plan,
+        n_ref_rows=2,
+        lfc_clip=3.0,
+        dynamic_threshold=1.5,
+        num_chunks=num_chunks,
+        dtype=jnp.float32,
+    )
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def bench_loop(seed, iters):
+        key = jax.random.PRNGKey(seed)
+        kx, kr = jax.random.split(key)
+        x = jax.random.normal(kx, (n_cells, width), dtype=jnp.float32)
+        ref0 = jax.random.normal(kr, (2, width), dtype=jnp.float32)
+        chunk_ids = (jnp.arange(n_cells, dtype=jnp.int32) // chunksize).astype(jnp.int32)
+
+        def body(i, carry):
+            refv, acc = carry
+            y, _ = base(x, refv, chunk_ids)
+            s = jnp.sum(y[0, :8])
+            # loop-carried data dependence (tiny): prevents hoisting the body
+            return (ref0 + s * 1e-30, acc + s)
+
+        _, acc = jax.lax.fori_loop(0, iters, body, (ref0, jnp.float32(0.0)))
+        return acc
+
+    def timed(iters):
+        t0 = time.perf_counter()
+        v = float(bench_loop(0, iters))
+        return time.perf_counter() - t0, v
+
+    # compile both variants
+    timed(1)
+    timed(21)
+    best = None
+    for _ in range(3):
+        t1, _ = timed(1)
+        t21, _ = timed(21)
+        per_iter = (t21 - t1) / 20.0
+        best = per_iter if best is None else min(best, per_iter)
+    dt = max(best, 1e-9)
+
+    ops = n_cells * plan.n_windows * window  # useful cell-gene-window MACs
+    ops_per_sec = ops / dt
+    result = {
+        "metric": "cell_gene_window_ops_per_sec",
+        "value": float(f"{ops_per_sec:.4g}"),
+        "unit": "ops/s",
+        "vs_baseline": float(f"{ops_per_sec / BASELINE_OPS_PER_SEC:.4g}"),
+        "detail": {
+            "device": str(jax.devices()[0]),
+            "n_cells": n_cells,
+            "n_genes": n_genes,
+            "n_windows": plan.n_windows,
+            "window": window,
+            "step": step,
+            "sec_per_call": float(f"{dt:.6g}"),
+            "cells_per_sec": float(f"{n_cells / dt:.4g}"),
+            "effective_gbps": float(f"{n_cells * n_genes * 4 / dt / 1e9:.4g}"),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,6 +16,11 @@ Numerics contract (must match reference tl/_infercnv.py:411-457):
    expressed here as a segmented reduction over ``chunk_ids``, which makes the
    result independent of how cells are batched onto devices)
 
+The device function consumes *pre-packed* input: the host packs genes into the
+plan's packed layout while densifying (free for CSR shards — just a column
+remap), so the device never pays for the permutation gather.  Use
+:func:`pack_columns` / :func:`pack_csr` to produce packed blocks.
+
 The optional per-gene back-projection (reference :247-291, a pure-Python dict
 loop) becomes a prefix-sum + two gathers: each gene's value is the mean of the
 contiguous range of windows covering it.
@@ -26,10 +31,58 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+import scipy.sparse as sp
 
 from ..genome.plan import WindowPlan
 
-__all__ = ["build_infercnv_fn", "smooth_only_fn"]
+__all__ = ["build_infercnv_fn", "smooth_only_fn", "pack_columns", "pack_csr", "packed_width"]
+
+
+# ---------------------------------------------------------------------------
+# Host-side packing
+# ---------------------------------------------------------------------------
+
+
+def packed_width(plan: WindowPlan) -> int:
+    """Total width of the packed layout: conv region + small-chromosome tail."""
+    return plan.packed_len + len(plan.small_src)
+
+
+def _pack_lut(plan: WindowPlan, n_genes: int) -> np.ndarray:
+    """LUT masked-gene-index -> packed column (-1 if the gene is unused)."""
+    lut = np.full(n_genes, -1, dtype=np.int64)
+    pos = np.flatnonzero(plan.packed_src >= 0)
+    lut[plan.packed_src[pos]] = pos
+    lut[plan.small_src] = plan.packed_len + np.arange(len(plan.small_src))
+    return lut
+
+
+def pack_columns(x: np.ndarray, plan: WindowPlan, lut: np.ndarray | None = None) -> np.ndarray:
+    """Pack a dense (rows × masked_genes) block into the packed layout."""
+    if lut is None:
+        lut = _pack_lut(plan, x.shape[1])
+    out = np.zeros((x.shape[0], packed_width(plan)), dtype=x.dtype)
+    used = lut >= 0
+    out[:, lut[used]] = x[:, used]
+    return out
+
+
+def pack_csr(x: sp.spmatrix, plan: WindowPlan, lut: np.ndarray | None = None) -> np.ndarray:
+    """Densify a CSR block straight into the packed layout (no intermediate)."""
+    x = x.tocsr()
+    if lut is None:
+        lut = _pack_lut(plan, x.shape[1])
+    new_cols = lut[x.indices]
+    keep = new_cols >= 0
+    rows = np.repeat(np.arange(x.shape[0]), np.diff(x.indptr))[keep]
+    out = np.zeros((x.shape[0], packed_width(plan)), dtype=np.result_type(x.dtype, np.float32))
+    out[rows, new_cols[keep]] = x.data[keep]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Device-side pipeline
+# ---------------------------------------------------------------------------
 
 
 def _center(x, ref):
@@ -47,14 +100,14 @@ def _boxcar_valid(x, width: int):
     return jnp.concatenate([c[..., width - 1 : width], c[..., width:] - c[..., :-width]], axis=-1)
 
 
-def _pyramid_conv(packed, plan: WindowPlan):
-    """Stride-1 valid pyramid conv over the packed axis.
+def _pyramid_conv_cumsum(packed, plan: WindowPlan):
+    """Stride-1 valid pyramid conv via two boxcar/cumsum passes.
 
     Key identity: the pyramidal weights ``min(r, n+1-r)`` are the full
     convolution of two boxcars, ``ones(a) * ones(b)`` with ``a=(n+1)//2``,
-    ``b=n+1-a``.  Two cumsum+difference passes therefore replace the O(n)
-    sliding dot product — O(1) work per gene, HBM-bandwidth-bound on TPU
-    (reference does the O(n) version with np.convolve, tl/_infercnv.py:208).
+    ``b=n+1-a``.  Two cumsum+difference passes replace the O(n) sliding dot
+    product — O(1) work per gene.  Optimal on CPU; on TPU the wide cumsum is
+    slow, so the phase formulation below wins there.
     """
     n = plan.window_size
     a = (n + 1) // 2
@@ -63,16 +116,44 @@ def _pyramid_conv(packed, plan: WindowPlan):
     return y / jnp.asarray(float(plan.pyramid_sum), dtype=packed.dtype)
 
 
-def _smooth(xc, plan: WindowPlan, dtype, mode: str = "fast"):
-    """Step 3: packed strided pyramid conv + small-chromosome uniform means.
+def _pyramid_conv_phase(packed, plan: WindowPlan, dtype):
+    """Strided pyramid conv as an s-channel conv (TPU/MXU formulation).
 
-    mode="fast": cumsum/boxcar factorization (default).
+    Only every ``step``-th window is needed, so split the packed axis into
+    its ``s = step`` phases: ``x3[c, t, q] = packed[c, q*s + t]`` (a reshape
+    + transpose, no gather).  The 1-D window of size ``n`` becomes an
+    ``m = ceil(n/s)``-tap convolution over ``q`` with ``s`` input channels —
+    a dense contraction of size ``m*s >= n`` that XLA lowers onto the MXU.
+    Output position ``w`` equals the stride-``s`` window at ``packed[w*s:]``.
+    """
+    n, s = plan.window_size, plan.step
+    m = -(-n // s)
+    L = packed.shape[1]
+    Lp = ((L + s - 1) // s) * s
+    if Lp != L:
+        packed = jnp.pad(packed, ((0, 0), (0, Lp - L)))
+    pyr = np.zeros(m * s, dtype=np.float64)
+    pyr[:n] = plan.pyramid
+    kernel = jnp.asarray(pyr.reshape(m, s).T, dtype=dtype)[None, :, :]  # (O=1, I=t, H=u)
+    x3 = packed.reshape(packed.shape[0], Lp // s, s).transpose(0, 2, 1)  # N, t, q
+    y = jax.lax.conv_general_dilated(
+        x3, kernel, (1,), "VALID", dimension_numbers=("NCH", "OIH", "NCH")
+    )[:, 0, :]
+    return y  # (N, Lp//s - m + 1): y[:, p] = strided window at packed[p*s:]
+
+
+def _smooth_packed(xc, plan: WindowPlan, dtype, mode: str = "fast"):
+    """Step 3 on packed input (conv region + small tail).
+
+    mode="fast": backend-adaptive (phase conv on accelerators, cumsum on CPU).
+    mode="phase" / "cumsum": force a formulation.
     mode="conv": direct strided XLA convolution (cross-check path).
     """
+    if mode == "fast":
+        mode = "cumsum" if jax.default_backend() == "cpu" else "phase"
     parts = []
     if plan.n_reg_windows:
-        packed_src = jnp.asarray(plan.packed_src)
-        packed = jnp.take(xc, packed_src, axis=1, mode="fill", fill_value=0)
+        packed = xc[:, : plan.packed_len]
         if mode == "conv":
             kernel = jnp.asarray(plan.pyramid, dtype=dtype)
             y = jax.lax.conv_general_dilated(
@@ -83,11 +164,14 @@ def _smooth(xc, plan: WindowPlan, dtype, mode: str = "fast"):
                 dimension_numbers=("NCH", "OIH", "NCH"),
             )[:, 0, :]
             parts.append(y[:, jnp.asarray(plan.conv_gather)])
+        elif mode == "phase":
+            y = _pyramid_conv_phase(packed, plan, dtype)
+            parts.append(y[:, jnp.asarray(plan.conv_gather)])
         else:
-            y = _pyramid_conv(packed, plan)
+            y = _pyramid_conv_cumsum(packed, plan)
             parts.append(y[:, jnp.asarray(plan.conv_gather * plan.step)])
     if plan.n_small:
-        xs = xc[:, jnp.asarray(plan.small_src)]
+        xs = xc[:, plan.packed_len : plan.packed_len + len(plan.small_src)]
         seg_sum = jax.ops.segment_sum(xs.T, jnp.asarray(plan.small_seg), num_segments=plan.n_small)
         counts = jnp.asarray(plan.small_counts, dtype=dtype)
         parts.append((seg_sum / counts[:, None]).T)
@@ -118,17 +202,19 @@ def build_infercnv_fn(
     dtype=jnp.float32,
     smooth_mode: str = "fast",
 ):
-    """Build the jitted end-to-end transform.
+    """Build the jitted end-to-end transform over PACKED input.
 
-    Returns ``fn(x, ref, chunk_ids) -> (x_res, gene_res)``:
+    Returns ``fn(x_packed, ref_packed, chunk_ids) -> (x_res, gene_res)``:
 
-    * ``x``          — (cells, masked_genes) dense expression
-    * ``ref``        — (n_ref_rows, masked_genes) reference baseline(s)
+    * ``x_packed``   — (cells, packed_width(plan)) dense packed expression
+      (see :func:`pack_columns` / :func:`pack_csr`)
+    * ``ref_packed`` — (n_ref_rows, packed_width(plan)) packed baseline(s)
     * ``chunk_ids``  — (cells,) int32; cells with the same id share a noise-
       gate std (reference chunk semantics).  Ids must lie in ``[0, num_chunks]``
       — id == num_chunks marks padding rows, which receive a threshold from an
       unused segment and must be discarded by the caller.
-    * ``gene_res``   — (cells, n_used_genes) or None; NaN for uncovered genes.
+    * ``gene_res``   — (cells, n_used_genes) or None; NaN for uncovered genes,
+      columns in ``plan.used_genes`` order.
     """
     covered_idx = np.flatnonzero(plan.gene_win_lo >= 0)
 
@@ -138,7 +224,7 @@ def build_infercnv_fn(
         ref = ref.astype(dtype)
         xc = _center(x, ref)
         xc = jnp.clip(xc, -lfc_clip, lfc_clip)
-        smoothed = _smooth(xc, plan, dtype, smooth_mode)
+        smoothed = _smooth_packed(xc, plan, dtype, smooth_mode)
         med = jnp.median(smoothed, axis=1)
         x_res = smoothed - med[:, None]
 
@@ -152,7 +238,9 @@ def build_infercnv_fn(
             n_win = x_res.shape[1]
             seg_sum = jax.ops.segment_sum(jnp.sum(x_res, axis=1), chunk_ids, num_segments=num_chunks + 1)
             seg_sq = jax.ops.segment_sum(jnp.sum(x_res * x_res, axis=1), chunk_ids, num_segments=num_chunks + 1)
-            seg_n = jax.ops.segment_sum(jnp.full(x_res.shape[0], n_win, dtype=dtype), chunk_ids, num_segments=num_chunks + 1)
+            seg_n = jax.ops.segment_sum(
+                jnp.full(x_res.shape[0], n_win, dtype=dtype), chunk_ids, num_segments=num_chunks + 1
+            )
             seg_n = jnp.maximum(seg_n, 1)
             mean = seg_sum / seg_n
             var = jnp.maximum(seg_sq / seg_n - mean * mean, 0)
@@ -168,10 +256,26 @@ def build_infercnv_fn(
 
 
 def smooth_only_fn(plan: WindowPlan, dtype=jnp.float32, mode: str = "fast"):
-    """Jitted smoothing-only transform (for benchmarking the hot conv)."""
+    """Jitted smoothing-only transform on UNPACKED input (tests/benchmarks)."""
 
-    @jax.jit
     def fn(xc):
-        return _smooth(xc.astype(dtype), plan, dtype, mode)
+        xc = np.asarray(xc)
+        xp = pack_columns(xc, plan, _pack_lut(plan, xc.shape[1]))
+        return _smooth_jit(plan, dtype, mode)(jnp.asarray(xp))
 
     return fn
+
+
+_smooth_cache = {}
+
+
+def _smooth_jit(plan: WindowPlan, dtype, mode):
+    key = (id(plan), np.dtype(dtype).name, mode)
+    if key not in _smooth_cache:
+
+        @jax.jit
+        def fn(xp):
+            return _smooth_packed(xp.astype(dtype), plan, dtype, mode)
+
+        _smooth_cache[key] = fn
+    return _smooth_cache[key]

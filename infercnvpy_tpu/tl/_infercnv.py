@@ -22,7 +22,7 @@ import scipy.sparse as sp
 
 from .._util import _ensure_array, warn
 from ..genome.plan import build_window_plan
-from ..ops.infercnv_kernel import build_infercnv_fn
+from ..ops.infercnv_kernel import _pack_lut, build_infercnv_fn, pack_columns, pack_csr, packed_width
 
 __all__ = ["infercnv"]
 
@@ -172,22 +172,28 @@ def _infercnv_compute(
         dtype=cdtype,
     )
 
-    ref_dev = np.asarray(reference, dtype=cdtype)
+    # host-side packing: genes land in the plan's packed layout during
+    # densification, so the device never pays for the permutation gather
+    lut = _pack_lut(plan, n_genes)
+    ref_dev = pack_columns(np.asarray(reference, dtype=cdtype), plan, lut)
     res_parts = []
     gene_parts = [] if calculate_gene_values else None
 
     for start in range(0, n_cells, batch_cells):
         stop = min(start + batch_cells, n_cells)
-        block = expr[start:stop]
-        block = block.toarray() if sp.issparse(block) else _ensure_array(np.asarray(block))
+        raw = expr[start:stop]
+        if sp.issparse(raw):
+            block = pack_csr(raw, plan, lut).astype(cdtype, copy=False)
+        else:
+            block = pack_columns(_ensure_array(np.asarray(raw)).astype(cdtype, copy=False), plan, lut)
         rows = stop - start
         pad = batch_cells - rows if (n_cells > batch_cells) else 0
         if pad:
-            block = np.vstack([block, np.zeros((pad, n_genes), dtype=block.dtype)])
+            block = np.vstack([block, np.zeros((pad, packed_width(plan)), dtype=block.dtype)])
         chunk_ids = (start + np.arange(block.shape[0])) // chunksize
         if pad:
             chunk_ids[rows:] = num_chunks
-        x_res, gene_res = fn(block.astype(cdtype), ref_dev, chunk_ids.astype(np.int32))
+        x_res, gene_res = fn(block, ref_dev, chunk_ids.astype(np.int32))
         x_res = np.asarray(x_res)[:rows]
         res_parts.append(sp.csr_matrix(x_res))
         if calculate_gene_values:
