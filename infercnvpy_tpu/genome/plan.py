@@ -168,7 +168,8 @@ def build_window_plan(
         w_c = (g - n) // s + 1  # reference: len(range(0, g-n+1, s))
         reg_windows[c] = w_c
         needed = max(needed, offsets[c] + s * (w_c - 1) + n)
-    packed_len = _round_up(max(needed, n), pad_to) if reg else 0
+    # multiple of step (for the phase-major view) and lane-padded
+    packed_len = _round_up(_round_up(max(needed, n), s), pad_to * s) if reg else 0
 
     packed_src = np.full(packed_len, -1, dtype=np.int32)
     for c in reg:

@@ -49,10 +49,20 @@ def packed_width(plan: WindowPlan) -> int:
 
 
 def _pack_lut(plan: WindowPlan, n_genes: int) -> np.ndarray:
-    """LUT masked-gene-index -> packed column (-1 if the gene is unused)."""
+    """LUT masked-gene-index -> packed column (-1 if the gene is unused).
+
+    The conv region uses a PHASE-MAJOR layout: gene-major packed position
+    ``p`` lands at column ``(p % step) * Q + p // step`` with
+    ``Q = packed_len // step`` — i.e. the packed axis is stored as its
+    ``step`` stride-phases, so the phase conv needs no transpose on device
+    (the host pays nothing: it's the same scatter either way).
+    """
     lut = np.full(n_genes, -1, dtype=np.int64)
     pos = np.flatnonzero(plan.packed_src >= 0)
-    lut[plan.packed_src[pos]] = pos
+    s = plan.step
+    Q = plan.packed_len // s
+    p = pos
+    lut[plan.packed_src[pos]] = (p % s) * Q + p // s
     lut[plan.small_src] = plan.packed_len + np.arange(len(plan.small_src))
     return lut
 
@@ -116,34 +126,39 @@ def _pyramid_conv_cumsum(packed, plan: WindowPlan):
     return y / jnp.asarray(float(plan.pyramid_sum), dtype=packed.dtype)
 
 
-def _pyramid_conv_phase(packed, plan: WindowPlan, dtype):
-    """Strided pyramid conv as an s-channel conv (TPU/MXU formulation).
+def _pyramid_conv_phase(phased, plan: WindowPlan, dtype):
+    """Strided pyramid conv on the phase-major layout (TPU/MXU formulation).
 
-    Only every ``step``-th window is needed, so split the packed axis into
-    its ``s = step`` phases: ``x3[c, t, q] = packed[c, q*s + t]`` (a reshape
-    + transpose, no gather).  The 1-D window of size ``n`` becomes an
-    ``m = ceil(n/s)``-tap convolution over ``q`` with ``s`` input channels —
-    a dense contraction of size ``m*s >= n`` that XLA lowers onto the MXU.
-    Output position ``w`` equals the stride-``s`` window at ``packed[w*s:]``.
+    Only every ``step``-th window is needed, so the packed axis is stored as
+    its ``s = step`` stride-phases: ``x3[c, t, q] = gene_major[c, q*s + t]``
+    (the host packs this way — no device transpose).  The 1-D window of size
+    ``n`` becomes an ``m = ceil(n/s)``-tap convolution over ``q`` with ``s``
+    input channels — a dense contraction of size ``m*s >= n`` that XLA lowers
+    onto the MXU.  Output position ``w`` equals the stride-``s`` window at
+    gene-major position ``w*s``.
     """
     n, s = plan.window_size, plan.step
     m = -(-n // s)
-    L = packed.shape[1]
-    Lp = ((L + s - 1) // s) * s
-    if Lp != L:
-        packed = jnp.pad(packed, ((0, 0), (0, Lp - L)))
+    Q = plan.packed_len // s
     pyr = np.zeros(m * s, dtype=np.float64)
     pyr[:n] = plan.pyramid
     kernel = jnp.asarray(pyr.reshape(m, s).T, dtype=dtype)[None, :, :]  # (O=1, I=t, H=u)
-    x3 = packed.reshape(packed.shape[0], Lp // s, s).transpose(0, 2, 1)  # N, t, q
+    x3 = phased.reshape(phased.shape[0], s, Q)  # N, t, q — already phase-major
     y = jax.lax.conv_general_dilated(
         x3, kernel, (1,), "VALID", dimension_numbers=("NCH", "OIH", "NCH")
     )[:, 0, :]
-    return y  # (N, Lp//s - m + 1): y[:, p] = strided window at packed[p*s:]
+    return y  # (N, Q - m + 1): y[:, p] = strided window at gene-major p*s
+
+
+def _unphase(phased, plan: WindowPlan):
+    """Phase-major conv region -> gene-major (for the cross-check conv paths)."""
+    s = plan.step
+    Q = plan.packed_len // s
+    return phased.reshape(phased.shape[0], s, Q).transpose(0, 2, 1).reshape(phased.shape[0], s * Q)
 
 
 def _smooth_packed(xc, plan: WindowPlan, dtype, mode: str = "fast"):
-    """Step 3 on packed input (conv region + small tail).
+    """Step 3 on packed input (phase-major conv region + small tail).
 
     mode="fast": backend-adaptive (phase conv on accelerators, cumsum on CPU).
     mode="phase" / "cumsum": force a formulation.
@@ -153,11 +168,11 @@ def _smooth_packed(xc, plan: WindowPlan, dtype, mode: str = "fast"):
         mode = "cumsum" if jax.default_backend() == "cpu" else "phase"
     parts = []
     if plan.n_reg_windows:
-        packed = xc[:, : plan.packed_len]
+        region = xc[:, : plan.packed_len]
         if mode == "conv":
             kernel = jnp.asarray(plan.pyramid, dtype=dtype)
             y = jax.lax.conv_general_dilated(
-                packed[:, None, :],
+                _unphase(region, plan)[:, None, :],
                 kernel[None, None, :],
                 window_strides=(plan.step,),
                 padding="VALID",
@@ -165,10 +180,10 @@ def _smooth_packed(xc, plan: WindowPlan, dtype, mode: str = "fast"):
             )[:, 0, :]
             parts.append(y[:, jnp.asarray(plan.conv_gather)])
         elif mode == "phase":
-            y = _pyramid_conv_phase(packed, plan, dtype)
+            y = _pyramid_conv_phase(region, plan, dtype)
             parts.append(y[:, jnp.asarray(plan.conv_gather)])
         else:
-            y = _pyramid_conv_cumsum(packed, plan)
+            y = _pyramid_conv_cumsum(_unphase(region, plan), plan)
             parts.append(y[:, jnp.asarray(plan.conv_gather * plan.step)])
     if plan.n_small:
         xs = xc[:, plan.packed_len : plan.packed_len + len(plan.small_src)]
@@ -218,6 +233,17 @@ def build_infercnv_fn(
     """
     covered_idx = np.flatnonzero(plan.gene_win_lo >= 0)
 
+    # exact per-row median: Pallas radix-select kernel on accelerators
+    # (13x faster than the XLA sort), XLA median on CPU / in float64
+    use_pallas_median = jax.default_backend() != "cpu" and jnp.dtype(dtype) == jnp.float32
+
+    def _row_median(a):
+        if use_pallas_median:
+            from .pallas_select import row_median
+
+            return row_median(a)
+        return jnp.median(a, axis=1)
+
     @jax.jit
     def fn(x, ref, chunk_ids):
         x = x.astype(dtype)
@@ -225,13 +251,13 @@ def build_infercnv_fn(
         xc = _center(x, ref)
         xc = jnp.clip(xc, -lfc_clip, lfc_clip)
         smoothed = _smooth_packed(xc, plan, dtype, smooth_mode)
-        med = jnp.median(smoothed, axis=1)
+        med = _row_median(smoothed)
         x_res = smoothed - med[:, None]
 
         gene_res = None
         if calculate_gene_values:
             gvals = _gene_values(smoothed, plan, dtype)
-            gmed = jnp.median(gvals[:, jnp.asarray(covered_idx)], axis=1)
+            gmed = _row_median(gvals[:, jnp.asarray(covered_idx)])
             gene_res = gvals - gmed[:, None]
 
         if dynamic_threshold is not None:
