@@ -101,8 +101,8 @@ def _parse_header(r: _Reader):
     if magic in (b"RDX2\n", b"RDX3\n"):
         fmt = r.read(2)
     elif magic[:2] in (b"X\n", b"A\n", b"B\n"):
-        # bare .rds has no RDX prefix; rewind 3 bytes
-        r.pos -= 3
+        # bare .rds has no RDX prefix; the format marker starts at offset 0
+        r.pos = 0
         fmt = r.read(2)
     else:
         raise ValueError(f"Not an XDR RData/rds stream (magic={magic!r})")

@@ -233,6 +233,19 @@ def build_infercnv_fn(
     """
     covered_idx = np.flatnonzero(plan.gene_win_lo >= 0)
 
+    # fused Pallas path: center+clip+conv+median+stats in one HBM pass.
+    # Default on accelerators in f32 (mode "fast"); force with mode "fused"
+    # (runs interpreted on CPU — used by tests); unavailable with
+    # calculate_gene_values (that path needs the pre-centering windows).
+    use_fused = (
+        smooth_mode in ("fast", "fused")
+        and not calculate_gene_values
+        and jnp.dtype(dtype) == jnp.float32
+        and (smooth_mode == "fused" or jax.default_backend() != "cpu")
+    )
+    if use_fused:
+        return _build_fused_fn(plan, lfc_clip=lfc_clip, dynamic_threshold=dynamic_threshold, num_chunks=num_chunks)
+
     # exact per-row median: Pallas radix-select kernel on accelerators
     # (13x faster than the XLA sort), XLA median on CPU / in float64
     use_pallas_median = jax.default_backend() != "cpu" and jnp.dtype(dtype) == jnp.float32
@@ -277,6 +290,45 @@ def build_infercnv_fn(
                 gene_res = jnp.where(jnp.abs(gene_res) < row_thr, jnp.zeros_like(gene_res), gene_res)
 
         return x_res, gene_res
+
+    return fn
+
+
+def _build_fused_fn(plan: WindowPlan, *, lfc_clip: float, dynamic_threshold: float | None, num_chunks: int, row_tile: int = 64):
+    """Assemble the fused-kernel pipeline (see ops.pallas_fused)."""
+    from .pallas_fused import final_gather_map, fused_center_smooth_median
+
+    gmap = jnp.asarray(final_gather_map(plan))
+    n_win = plan.n_windows
+
+    @jax.jit
+    def fn(x, ref, chunk_ids):
+        x = x.astype(jnp.float32)
+        ref = ref.astype(jnp.float32)
+        if ref.shape[0] == 1:
+            ref2 = jnp.concatenate([ref, ref], axis=0)
+        else:
+            ref2 = jnp.stack([jnp.min(ref, axis=0), jnp.max(ref, axis=0)])
+        n = x.shape[0]
+        pad = (-n) % row_tile
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0)
+        xr_all, rs, rsq, _med = fused_center_smooth_median(x, ref2, plan, lfc_clip=lfc_clip, row_tile=row_tile)
+        x_res = xr_all[:n, gmap]
+
+        if dynamic_threshold is not None:
+            cid = chunk_ids
+            seg_sum = jax.ops.segment_sum(rs[:n], cid, num_segments=num_chunks + 1)
+            seg_sq = jax.ops.segment_sum(rsq[:n], cid, num_segments=num_chunks + 1)
+            seg_n = jax.ops.segment_sum(jnp.full(n, float(n_win), jnp.float32), cid, num_segments=num_chunks + 1)
+            seg_n = jnp.maximum(seg_n, 1)
+            mean = seg_sum / seg_n
+            var = jnp.maximum(seg_sq / seg_n - mean * mean, 0)
+            thr = dynamic_threshold * jnp.sqrt(var)
+            row_thr = thr[cid][:, None]
+            x_res = jnp.where(jnp.abs(x_res) < row_thr, jnp.zeros_like(x_res), x_res)
+
+        return x_res, None
 
     return fn
 

@@ -147,14 +147,34 @@ def leiden(
     *,
     seed: int = 0,
     max_rounds: int = 20,
+    use_native: bool = True,
 ) -> np.ndarray:
     """Cluster a (symmetric, weighted) graph; returns int labels ordered by size.
 
     Labels are renumbered so cluster 0 is the largest — matching scanpy's
-    category ordering conventions for ``cnv_leiden``.
+    category ordering conventions for ``cnv_leiden``.  Uses the in-repo C++
+    implementation when available (``use_native=True``, compiled on demand);
+    falls back to the pure-Python implementation otherwise.
     """
     A = sp.csr_matrix(adjacency)
     A = (A + A.T) / 2.0  # symmetrize defensively
+
+    if use_native:
+        from ..native import native_leiden
+
+        A_csr = A.tocsr()
+        A_csr.sort_indices()
+        labels = native_leiden(
+            A_csr.indptr.astype(np.int64),
+            A_csr.indices.astype(np.int32),
+            A_csr.data.astype(np.float64),
+            resolution=float(resolution),
+            seed=int(seed),
+            max_rounds=int(max_rounds),
+        )
+        if labels is not None:
+            return labels
+
     rng = np.random.default_rng(seed)
 
     g = _Graph(A)
