@@ -144,8 +144,15 @@ def _pyramid_conv_phase(phased, plan: WindowPlan, dtype):
     pyr[:n] = plan.pyramid
     kernel = jnp.asarray(pyr.reshape(m, s).T, dtype=dtype)[None, :, :]  # (O=1, I=t, H=u)
     x3 = phased.reshape(phased.shape[0], s, Q)  # N, t, q — already phase-major
+    # precision=HIGHEST: the default TPU conv uses single-pass bf16 on the MXU
+    # (~1e-3 error — unacceptable for reference parity)
     y = jax.lax.conv_general_dilated(
-        x3, kernel, (1,), "VALID", dimension_numbers=("NCH", "OIH", "NCH")
+        x3,
+        kernel,
+        (1,),
+        "VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
     )[:, 0, :]
     return y  # (N, Q - m + 1): y[:, p] = strided window at gene-major p*s
 

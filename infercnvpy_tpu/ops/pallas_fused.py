@@ -125,12 +125,17 @@ def _make_kernel(plan: WindowPlan, lfc_clip: float, n_windows: int):
         if P:
             x3 = xc[:, : s * Q].reshape(xc.shape[0], s, Q)
             acc = jnp.zeros((xc.shape[0], P), jnp.float32)
-            for t in range(s):
-                row = x3[:, t, :]
-                for u in range(m):
+            # z-form: combine the s phases at full width first (aligned VPU
+            # FMAs), then ONE lane-shifted add per tap u — s x fewer shifts
+            for u in range(m):
+                z = None
+                for t in range(s):
                     w = float(pyr[u * s + t])
                     if w != 0.0:
-                        acc = acc + row[:, u : u + P] * w
+                        zt = x3[:, t, :] * w
+                        z = zt if z is None else z + zt
+                if z is not None:
+                    acc = acc + z[:, u : u + P]
             parts.append(acc)
         off = s * Q
         for g in small_counts:

@@ -1,0 +1,119 @@
+"""Downstream analysis ops: PCA, kNN, fuzzy graph, UMAP, t-SNE quality."""
+
+import numpy as np
+import numpy.testing as npt
+import pytest
+import scipy.sparse as sp
+
+from infercnvpy_tpu.ops.graph import fuzzy_connectivities, knn_distance_matrix
+from infercnvpy_tpu.ops.knn import exact_knn
+from infercnvpy_tpu.ops.linalg import truncated_svd
+from infercnvpy_tpu.ops.tsne_ import tsne_embed
+from infercnvpy_tpu.ops.umap_ import umap_layout
+
+
+@pytest.fixture(scope="module")
+def blobs():
+    """3 well-separated Gaussian blobs in 20 dims."""
+    rng = np.random.default_rng(0)
+    centers = rng.normal(scale=20, size=(3, 20))
+    X = np.vstack([centers[i] + rng.normal(size=(50, 20)) for i in range(3)]).astype(np.float32)
+    labels = np.repeat(np.arange(3), 50)
+    return X, labels
+
+
+def test_truncated_svd_reconstruction():
+    rng = np.random.default_rng(0)
+    # low-rank + noise
+    U = rng.normal(size=(200, 5))
+    V = rng.normal(size=(5, 80))
+    X = (U @ V).astype(np.float32)
+    scores, components, svals = truncated_svd(X, 5)
+    recon = scores @ components
+    npt.assert_allclose(recon, X, atol=1e-2)
+    assert (np.diff(svals) <= 1e-3).all()  # descending
+
+
+def test_truncated_svd_matches_numpy_svd():
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(120, 40)).astype(np.float32)
+    scores, components, svals = truncated_svd(X, 10)
+    s_np = np.linalg.svd(X.astype(np.float64), compute_uv=False)[:10]
+    npt.assert_allclose(svals, s_np, rtol=1e-3)
+
+
+def test_truncated_svd_sparse_and_blocked():
+    rng = np.random.default_rng(2)
+    X = sp.random(500, 60, density=0.2, format="csr", random_state=2, dtype=np.float32)
+    s1, c1, v1 = truncated_svd(X, 8, block_rows=128)
+    s2, c2, v2 = truncated_svd(X.toarray(), 8)
+    npt.assert_allclose(np.abs(s1), np.abs(s2), rtol=1e-2, atol=1e-3)
+
+
+def test_truncated_svd_zero_center():
+    rng = np.random.default_rng(3)
+    X = rng.normal(loc=5.0, size=(100, 30)).astype(np.float32)
+    scores, components, svals = truncated_svd(X, 5, zero_center=True)
+    # centered PCA scores should themselves be (approximately) centered
+    npt.assert_allclose(scores.mean(axis=0), 0, atol=1e-2)
+
+
+def test_exact_knn_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(300, 12)).astype(np.float32)
+    dists, idxs = exact_knn(X, 10, block=128)
+    # self first
+    npt.assert_array_equal(idxs[:, 0], np.arange(300))
+    npt.assert_allclose(dists[:, 0], 0, atol=1e-5)
+    # brute force
+    D = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+    want = np.sort(D, axis=1)[:, :10]
+    npt.assert_allclose(np.sort(dists, axis=1), want, atol=1e-3)
+
+
+def test_fuzzy_connectivities_properties(blobs):
+    X, labels = blobs
+    dists, idxs = exact_knn(X, 15)
+    conn = fuzzy_connectivities(dists, idxs)
+    assert conn.shape == (150, 150)
+    assert abs(conn - conn.T).max() < 1e-6  # symmetric
+    assert conn.max() <= 1.0 + 1e-6 and conn.min() >= 0
+    # blob structure: within-blob weight dominates
+    w_in = conn[:50, :50].sum()
+    w_out = conn[:50, 50:].sum()
+    assert w_in > 10 * w_out
+
+
+def test_knn_distance_matrix(blobs):
+    X, _ = blobs
+    dists, idxs = exact_knn(X, 5)
+    D = knn_distance_matrix(dists, idxs)
+    assert D.shape == (150, 150)
+    assert D.nnz == 150 * 4  # self excluded
+    assert D.diagonal().sum() == 0
+
+
+def _blob_separation(emb, labels):
+    """Mean inter-centroid distance / mean within-blob spread."""
+    cents = np.vstack([emb[labels == i].mean(0) for i in range(3)])
+    inter = np.linalg.norm(cents[:, None] - cents[None, :], axis=-1).sum() / 6
+    intra = np.mean([np.linalg.norm(emb[labels == i] - cents[i], axis=1).mean() for i in range(3)])
+    return inter / intra
+
+
+def test_umap_separates_blobs(blobs):
+    X, labels = blobs
+    dists, idxs = exact_knn(X, 15)
+    conn = fuzzy_connectivities(dists, idxs)
+    emb = umap_layout(conn, n_epochs=150, seed=0)
+    assert emb.shape == (150, 2)
+    assert np.isfinite(emb).all()
+    assert _blob_separation(emb, labels) > 2.0
+
+
+def test_tsne_separates_blobs(blobs):
+    X, labels = blobs
+    emb = tsne_embed(X, n_iter=400, perplexity=20, seed=0)
+    assert emb.shape == (150, 2)
+    assert np.isfinite(emb).all()
+    assert _blob_separation(emb, labels) > 2.0

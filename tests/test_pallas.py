@@ -40,3 +40,34 @@ def test_row_kth_smallest():
         got = np.asarray(row_kth_smallest(x, k, row_tile=8))
         want = np.sort(x, axis=1)[:, k]
         npt.assert_array_equal(got, want)
+
+
+def test_fused_pipeline_matches_unfused():
+    """Fused Pallas path (interpret mode) == unfused XLA path, incl. gating."""
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from infercnvpy_tpu.genome import build_window_plan
+    from infercnvpy_tpu.ops.infercnv_kernel import _pack_lut, build_infercnv_fn, pack_columns
+
+    rng = np.random.default_rng(0)
+    rows = [(f"chr{c + 1}", i * 100) for c, g in enumerate([150, 40, 7, 90]) for i in range(g)]
+    var = pd.DataFrame(rows, columns=["chromosome", "start"])
+    var["end"] = var["start"] + 1
+    for w, s, nref, dt in [(100, 10, 2, 1.5), (9, 3, 1, 1.5), (11, 1, 3, None)]:
+        plan = build_window_plan(var, w, s)
+        lut = _pack_lut(plan, len(var))
+        x = pack_columns(rng.normal(size=(37, len(var))).astype(np.float32), plan, lut)
+        ref = pack_columns(rng.normal(size=(nref, len(var))).astype(np.float32), plan, lut)
+        cid = (np.arange(37) // 10).astype(np.int32)
+        f_ref = build_infercnv_fn(
+            plan, n_ref_rows=nref, lfc_clip=1.0, dynamic_threshold=dt, num_chunks=4,
+            dtype=jnp.float32, smooth_mode="phase",
+        )
+        f_fus = build_infercnv_fn(
+            plan, n_ref_rows=nref, lfc_clip=1.0, dynamic_threshold=dt, num_chunks=4,
+            dtype=jnp.float32, smooth_mode="fused",
+        )
+        a, _ = f_ref(x, ref, cid)
+        b, _ = f_fus(x, ref, cid)
+        npt.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
