@@ -125,15 +125,52 @@ def _make_kernel(plan: WindowPlan, lfc_clip: float, n_windows: int):
         if P:
             x3 = xc[:, : s * Q].reshape(xc.shape[0], s, Q)
             acc = jnp.zeros((xc.shape[0], P), jnp.float32)
-            # z-form: combine the s phases at full width first (aligned VPU
-            # FMAs), then ONE lane-shifted add per tap u — s x fewer shifts
+            # z-form with affine-tap factoring: within tap u the pyramid
+            # weights w[u*s+t] are affine in the phase t with slope ±1
+            # (w = min(r, n+1-r)), so z_u collapses to a_u*B ± T where
+            #   B = Σ_t x3[t]   and   T = Σ_t t·x3[t]
+            # are shared across ALL taps — ~3 VPU ops per tap at full width
+            # instead of s multiply-adds.  Non-affine taps (the peak tap when
+            # s doesn't split it, the zero-padded last tap) fall back to
+            # per-phase multiply-adds.
+            def tap_affine(u):
+                ws = [float(pyr[u * s + t]) for t in range(s)]
+                b = ws[1] - ws[0] if s > 1 else 0.0
+                if all(ws[t] == ws[0] + b * t for t in range(s)):
+                    return ws[0], b
+                return None
+
+            need_shared = any(tap_affine(u) is not None and s > 1 for u in range(m))
+            if need_shared:
+                B = x3[:, 0, :]
+                T = None
+                for t in range(1, s):
+                    xt = x3[:, t, :]
+                    B = B + xt
+                    T = xt * float(t) if T is None else T + xt * float(t)
+                if T is None:
+                    T = jnp.zeros_like(B)
             for u in range(m):
-                z = None
-                for t in range(s):
-                    w = float(pyr[u * s + t])
-                    if w != 0.0:
-                        zt = x3[:, t, :] * w
+                aff = tap_affine(u) if s > 1 else None
+                if aff is not None:
+                    a, b = aff
+                    if a == 0.0 and b == 0.0:
+                        continue
+                    z = B * a if a != 0.0 else None
+                    if b == 1.0:
+                        z = T if z is None else z + T
+                    elif b == -1.0:
+                        z = -T if z is None else z - T
+                    elif b != 0.0:
+                        zt = T * b
                         z = zt if z is None else z + zt
+                else:
+                    z = None
+                    for t in range(s):
+                        w = float(pyr[u * s + t])
+                        if w != 0.0:
+                            zt = x3[:, t, :] * w
+                            z = zt if z is None else z + zt
                 if z is not None:
                     acc = acc + z[:, u : u + P]
             parts.append(acc)
