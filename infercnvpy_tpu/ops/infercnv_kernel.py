@@ -223,6 +223,7 @@ def build_infercnv_fn(
     calculate_gene_values: bool = False,
     dtype=jnp.float32,
     smooth_mode: str = "fast",
+    row_tile: int | None = None,
 ):
     """Build the jitted end-to-end transform over PACKED input.
 
@@ -251,7 +252,13 @@ def build_infercnv_fn(
         and (smooth_mode == "fused" or jax.default_backend() != "cpu")
     )
     if use_fused:
-        return _build_fused_fn(plan, lfc_clip=lfc_clip, dynamic_threshold=dynamic_threshold, num_chunks=num_chunks)
+        return _build_fused_fn(
+            plan,
+            lfc_clip=lfc_clip,
+            dynamic_threshold=dynamic_threshold,
+            num_chunks=num_chunks,
+            **({} if row_tile is None else {"row_tile": row_tile}),
+        )
 
     # exact per-row median: Pallas radix-select kernel on accelerators
     # (13x faster than the XLA sort), XLA median on CPU / in float64
@@ -301,18 +308,18 @@ def build_infercnv_fn(
     return fn
 
 
-def _build_fused_fn(plan: WindowPlan, *, lfc_clip: float, dynamic_threshold: float | None, num_chunks: int, row_tile: int = 64):
+def _build_fused_fn(plan: WindowPlan, *, lfc_clip: float, dynamic_threshold: float | None, num_chunks: int, row_tile: int = 128):
     """Assemble the fused-kernel pipeline (see ops.pallas_fused)."""
-    from .pallas_fused import final_gather_map, fused_center_smooth_median
+    from .pallas_fused import fused_center_smooth_median
 
-    gmap = jnp.asarray(final_gather_map(plan))
     n_win = plan.n_windows
 
     @jax.jit
     def fn(x, ref, chunk_ids):
         x = x.astype(jnp.float32)
         ref = ref.astype(jnp.float32)
-        if ref.shape[0] == 1:
+        n_ref = ref.shape[0]
+        if n_ref == 1:
             ref2 = jnp.concatenate([ref, ref], axis=0)
         else:
             ref2 = jnp.stack([jnp.min(ref, axis=0), jnp.max(ref, axis=0)])
@@ -320,8 +327,10 @@ def _build_fused_fn(plan: WindowPlan, *, lfc_clip: float, dynamic_threshold: flo
         pad = (-n) % row_tile
         if pad:
             x = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0)
-        xr_all, rs, rsq, _med = fused_center_smooth_median(x, ref2, plan, lfc_clip=lfc_clip, row_tile=row_tile)
-        x_res = xr_all[:n, gmap]
+        xr_all, rs, rsq, _med = fused_center_smooth_median(
+            x, ref2, plan, lfc_clip=lfc_clip, n_ref=min(n_ref, 2), row_tile=row_tile
+        )
+        x_res = xr_all[:n]
 
         if dynamic_threshold is not None:
             cid = chunk_ids
