@@ -224,6 +224,7 @@ def build_infercnv_fn(
     dtype=jnp.float32,
     smooth_mode: str = "fast",
     row_tile: int | None = None,
+    axis_name: str | None = None,
 ):
     """Build the jitted end-to-end transform over PACKED input.
 
@@ -238,6 +239,9 @@ def build_infercnv_fn(
       unused segment and must be discarded by the caller.
     * ``gene_res``   — (cells, n_used_genes) or None; NaN for uncovered genes,
       columns in ``plan.used_genes`` order.
+    * ``axis_name``  — set when the fn runs inside ``shard_map`` over a cell-
+      sharded mesh axis: the per-chunk noise statistics are psum-ed across
+      shards so chunk semantics stay GLOBAL (chunks may cross shards).
     """
     covered_idx = np.flatnonzero(plan.gene_win_lo >= 0)
 
@@ -257,6 +261,7 @@ def build_infercnv_fn(
             lfc_clip=lfc_clip,
             dynamic_threshold=dynamic_threshold,
             num_chunks=num_chunks,
+            axis_name=axis_name,
             **({} if row_tile is None else {"row_tile": row_tile}),
         )
 
@@ -294,6 +299,10 @@ def build_infercnv_fn(
             seg_n = jax.ops.segment_sum(
                 jnp.full(x_res.shape[0], n_win, dtype=dtype), chunk_ids, num_segments=num_chunks + 1
             )
+            if axis_name is not None:
+                seg_sum = jax.lax.psum(seg_sum, axis_name)
+                seg_sq = jax.lax.psum(seg_sq, axis_name)
+                seg_n = jax.lax.psum(seg_n, axis_name)
             seg_n = jnp.maximum(seg_n, 1)
             mean = seg_sum / seg_n
             var = jnp.maximum(seg_sq / seg_n - mean * mean, 0)
@@ -308,7 +317,15 @@ def build_infercnv_fn(
     return fn
 
 
-def _build_fused_fn(plan: WindowPlan, *, lfc_clip: float, dynamic_threshold: float | None, num_chunks: int, row_tile: int = 128):
+def _build_fused_fn(
+    plan: WindowPlan,
+    *,
+    lfc_clip: float,
+    dynamic_threshold: float | None,
+    num_chunks: int,
+    row_tile: int = 256,
+    axis_name: str | None = None,
+):
     """Assemble the fused-kernel pipeline (see ops.pallas_fused)."""
     from .pallas_fused import fused_center_smooth_median
 
@@ -337,6 +354,10 @@ def _build_fused_fn(plan: WindowPlan, *, lfc_clip: float, dynamic_threshold: flo
             seg_sum = jax.ops.segment_sum(rs[:n], cid, num_segments=num_chunks + 1)
             seg_sq = jax.ops.segment_sum(rsq[:n], cid, num_segments=num_chunks + 1)
             seg_n = jax.ops.segment_sum(jnp.full(n, float(n_win), jnp.float32), cid, num_segments=num_chunks + 1)
+            if axis_name is not None:
+                seg_sum = jax.lax.psum(seg_sum, axis_name)
+                seg_sq = jax.lax.psum(seg_sq, axis_name)
+                seg_n = jax.lax.psum(seg_n, axis_name)
             seg_n = jnp.maximum(seg_n, 1)
             mean = seg_sum / seg_n
             var = jnp.maximum(seg_sq / seg_n - mean * mean, 0)

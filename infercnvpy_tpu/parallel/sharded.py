@@ -1,19 +1,24 @@
-"""Cell-sharded infercnv pipeline via jit + NamedSharding.
+"""Cell-sharded infercnv pipeline via shard_map over the 'cells' mesh axis.
 
-The jitted transform from :mod:`infercnvpy_tpu.ops.infercnv_kernel` is pure
-data-parallel over cells except for the chunk-scoped noise std, which XLA
-turns into a scatter-add + all-reduce across the mesh — the TPU analogue of
-the reference's vstack-gather (reference: tl/_infercnv.py:137).
+The transform from :mod:`infercnvpy_tpu.ops.infercnv_kernel` is pure
+data-parallel over cells except for the chunk-scoped noise std; under
+``shard_map`` each shard computes partial per-chunk sums over the GLOBAL
+chunk ids and the partials are combined with ``psum`` — the TPU analogue of
+the reference's vstack-gather (reference: tl/_infercnv.py:137).  shard_map
+(rather than jit-with-shardings) guarantees the Pallas kernel runs once per
+device on its local shard instead of relying on the SPMD partitioner to
+handle the custom call.
 """
 
 from __future__ import annotations
 
 import jax
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 from ..genome.plan import WindowPlan
 from ..ops.infercnv_kernel import build_infercnv_fn
-from .mesh import cell_mesh, replicate, shard_cells
+from .mesh import CELL_AXIS, cell_mesh, replicate, shard_cells
 
 __all__ = ["sharded_infercnv_fn", "run_sharded_infercnv"]
 
@@ -29,7 +34,11 @@ def sharded_infercnv_fn(
     calculate_gene_values: bool = False,
     dtype=None,
 ):
-    """Build the infercnv transform with cell-axis in/out shardings attached."""
+    """Build the infercnv transform shard-mapped over the cell axis.
+
+    Returns ``fn(x, ref, chunk_ids) -> (x_res, gene_res)``; the cell axis of
+    ``x``/``chunk_ids`` must be divisible by the mesh size.
+    """
     import jax.numpy as jnp
 
     if mesh is None:
@@ -45,22 +54,37 @@ def sharded_infercnv_fn(
         num_chunks=num_chunks,
         calculate_gene_values=calculate_gene_values,
         dtype=dtype,
+        axis_name=CELL_AXIS,
     )
-    data = shard_cells(mesh)
-    repl = replicate(mesh)
-    out_shardings = (data, data if calculate_gene_values else None)
-    return jax.jit(base, in_shardings=(data, repl, data), out_shardings=out_shardings)
+    in_specs = (P(CELL_AXIS), P(), P(CELL_AXIS))
+    if calculate_gene_values:
+        mapped = jax.shard_map(base, mesh=mesh, in_specs=in_specs, out_specs=(P(CELL_AXIS), P(CELL_AXIS)))
+        return jax.jit(mapped)
+
+    mapped = jax.shard_map(
+        lambda x, ref, cid: base(x, ref, cid)[0], mesh=mesh, in_specs=in_specs, out_specs=P(CELL_AXIS)
+    )
+    jitted = jax.jit(mapped)
+
+    def fn(x, ref, chunk_ids):
+        return jitted(x, ref, chunk_ids), None
+
+    return fn
 
 
 def run_sharded_infercnv(fn, mesh, x: np.ndarray, ref: np.ndarray, chunk_ids: np.ndarray, n_devices=None):
-    """Pad the cell axis to the mesh size and run the sharded transform."""
+    """Pad the cell axis to the mesh size, place the operands, and run."""
     n_dev = n_devices or mesh.devices.size
     n = x.shape[0]
     pad = (-n) % n_dev
     if pad:
         x = np.concatenate([x, np.zeros((pad, x.shape[1]), x.dtype)], axis=0)
         chunk_ids = np.concatenate([chunk_ids, np.full(pad, chunk_ids.max() + 1, chunk_ids.dtype)])
-    x_res, gene_res = fn(x, ref, chunk_ids)
+    data = shard_cells(mesh)
+    repl = replicate(mesh)
+    x_res, gene_res = fn(
+        jax.device_put(x, data), jax.device_put(ref, repl), jax.device_put(np.asarray(chunk_ids), data)
+    )
     x_res = np.asarray(x_res)[:n]
     gene_res = None if gene_res is None else np.asarray(gene_res)[:n]
     return x_res, gene_res

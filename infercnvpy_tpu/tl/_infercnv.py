@@ -46,6 +46,7 @@ def infercnv(
     calculate_gene_values: bool = False,
     batch_cells: int | None = None,
     dtype=None,
+    mesh=None,
 ):
     """Infer Copy Number Variation (CNV) by averaging gene expression over genomic regions.
 
@@ -59,6 +60,12 @@ def infercnv(
     dtype
         Compute dtype.  ``None`` uses float64 when the (densified) input is
         float64/int (matching numpy promotion in the reference), else float32.
+    mesh
+        Device placement.  ``None`` (default) uses ALL local devices: with
+        more than one, each device batch is shard_map-ed over a 1-D cell mesh
+        (chunk noise statistics are psum-ed, so results are independent of
+        the device count).  Pass a 1-D ``jax.sharding.Mesh`` to control
+        placement, or ``False`` to force single-device execution.
     """
     del n_jobs
     if not adata.var_names.is_unique:
@@ -95,6 +102,7 @@ def infercnv(
         calculate_gene_values=calculate_gene_values,
         batch_cells=batch_cells,
         dtype=dtype,
+        mesh=mesh,
     )
 
     if calculate_gene_values:
@@ -131,6 +139,11 @@ def _pick_dtype(expr, dtype):
     return jnp.float32
 
 
+#: execution details of the most recent `_infercnv_compute` call (test hook):
+#: {"n_devices": int, "sharded": bool}
+_LAST_RUN_INFO: dict = {}
+
+
 def _infercnv_compute(
     expr,
     var: pd.DataFrame,
@@ -144,8 +157,11 @@ def _infercnv_compute(
     calculate_gene_values: bool,
     batch_cells: int | None,
     dtype,
+    mesh=None,
 ):
     """Run the full pipeline; returns (chr_pos, csr result, used-gene matrix or None)."""
+    import jax
+
     n_cells, n_genes = expr.shape
     plan = build_window_plan(var, window_size, step)
     if plan.n_windows == 0:
@@ -162,20 +178,47 @@ def _infercnv_compute(
         batch_cells = max(chunksize, (batch_cells // chunksize) * chunksize)
     batch_cells = min(batch_cells, ((n_cells + chunksize - 1) // chunksize) * chunksize)
 
-    fn = build_infercnv_fn(
-        plan,
-        n_ref_rows=reference.shape[0],
-        lfc_clip=lfc_clip,
-        dynamic_threshold=dynamic_threshold,
-        num_chunks=num_chunks,
-        calculate_gene_values=calculate_gene_values,
-        dtype=cdtype,
-    )
+    # every local device participates by default: shard each device batch
+    # over a 1-D cell mesh (the TPU analogue of the reference's process pool,
+    # reference: tl/_infercnv.py:120-135)
+    use_mesh = mesh is not False and (mesh is not None or len(jax.devices()) > 1)
+    n_dev = 1
+    if use_mesh:
+        from ..parallel.mesh import cell_mesh, replicate, shard_cells
+        from ..parallel.sharded import sharded_infercnv_fn
+
+        the_mesh = mesh if mesh is not None else cell_mesh()
+        n_dev = int(the_mesh.devices.size)
+        fn = sharded_infercnv_fn(
+            plan,
+            the_mesh,
+            n_ref_rows=reference.shape[0],
+            lfc_clip=lfc_clip,
+            dynamic_threshold=dynamic_threshold,
+            num_chunks=num_chunks,
+            calculate_gene_values=calculate_gene_values,
+            dtype=cdtype,
+        )
+        data_sh, repl_sh = shard_cells(the_mesh), replicate(the_mesh)
+    else:
+        fn = build_infercnv_fn(
+            plan,
+            n_ref_rows=reference.shape[0],
+            lfc_clip=lfc_clip,
+            dynamic_threshold=dynamic_threshold,
+            num_chunks=num_chunks,
+            calculate_gene_values=calculate_gene_values,
+            dtype=cdtype,
+        )
+    _LAST_RUN_INFO.clear()
+    _LAST_RUN_INFO.update({"n_devices": n_dev, "sharded": use_mesh})
 
     # host-side packing: genes land in the plan's packed layout during
     # densification, so the device never pays for the permutation gather
     lut = _pack_lut(plan, n_genes)
     ref_dev = pack_columns(np.asarray(reference, dtype=cdtype), plan, lut)
+    if use_mesh:
+        ref_dev = jax.device_put(ref_dev, repl_sh)
     res_parts = []
     gene_parts = [] if calculate_gene_values else None
 
@@ -188,12 +231,18 @@ def _infercnv_compute(
             block = pack_columns(_ensure_array(np.asarray(raw)).astype(cdtype, copy=False), plan, lut)
         rows = stop - start
         pad = batch_cells - rows if (n_cells > batch_cells) else 0
+        # the cell axis must split evenly over the mesh
+        pad += (-(rows + pad)) % n_dev
         if pad:
             block = np.vstack([block, np.zeros((pad, packed_width(plan)), dtype=block.dtype)])
         chunk_ids = (start + np.arange(block.shape[0])) // chunksize
         if pad:
             chunk_ids[rows:] = num_chunks
-        x_res, gene_res = fn(block, ref_dev, chunk_ids.astype(np.int32))
+        chunk_ids = chunk_ids.astype(np.int32)
+        if use_mesh:
+            block = jax.device_put(block, data_sh)
+            chunk_ids = jax.device_put(chunk_ids, data_sh)
+        x_res, gene_res = fn(block, ref_dev, chunk_ids)
         x_res = np.asarray(x_res)[:rows]
         res_parts.append(sp.csr_matrix(x_res))
         if calculate_gene_values:

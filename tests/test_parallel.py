@@ -81,6 +81,63 @@ def test_sharded_chunk_std_crosses_shards(problem):
     assert (np.asarray(got) == 0).any()
 
 
+def _make_adata(n_cells=48, seed=0):
+    import infercnvpy_tpu as cnv
+
+    rng = np.random.default_rng(seed)
+    var = pd.DataFrame(
+        {
+            "chromosome": ["chr1"] * 120 + ["chr2"] * 60 + ["chr3"] * 20,
+            "start": list(range(120)) + list(range(60)) + list(range(20)),
+        }
+    )
+    var["end"] = var["start"] + 1
+    var.index = pd.Index([f"g{i}" for i in range(len(var))])
+    X = rng.normal(size=(n_cells, len(var))).astype(np.float32)
+    obs = pd.DataFrame({"grp": ["ref" if i % 3 == 0 else "q" for i in range(n_cells)]})
+    return cnv.AnnData(X=X, obs=obs, var=var)
+
+
+def test_public_api_uses_all_devices():
+    """`tl.infercnv` must shard over every local device without manual
+    plumbing (reference contract: tl/_infercnv.py:18) and reproduce the
+    single-device result."""
+    import infercnvpy_tpu as cnv
+    from infercnvpy_tpu.tl._infercnv import _LAST_RUN_INFO
+
+    adata = _make_adata()
+    pos_m, res_m, _ = cnv.tl.infercnv(
+        adata, reference_key="grp", reference_cat="ref", window_size=15, step=4, chunksize=16, inplace=False
+    )
+    assert _LAST_RUN_INFO == {"n_devices": 8, "sharded": True}
+
+    pos_s, res_s, _ = cnv.tl.infercnv(
+        adata, reference_key="grp", reference_cat="ref", window_size=15, step=4, chunksize=16,
+        inplace=False, mesh=False,
+    )
+    assert _LAST_RUN_INFO == {"n_devices": 1, "sharded": False}
+    assert pos_m == pos_s
+    npt.assert_allclose(res_m.toarray(), res_s.toarray(), rtol=1e-6, atol=1e-7)
+
+
+def test_public_api_mesh_gene_values():
+    import infercnvpy_tpu as cnv
+
+    adata = _make_adata(n_cells=24, seed=1)
+    _, res_m, gene_m = cnv.tl.infercnv(
+        adata, reference_key="grp", reference_cat="ref", window_size=15, step=4, chunksize=7,
+        calculate_gene_values=True, inplace=False,
+    )
+    _, res_s, gene_s = cnv.tl.infercnv(
+        adata, reference_key="grp", reference_cat="ref", window_size=15, step=4, chunksize=7,
+        calculate_gene_values=True, inplace=False, mesh=False,
+    )
+    npt.assert_allclose(res_m.toarray(), res_s.toarray(), rtol=1e-6, atol=1e-7)
+    npt.assert_array_equal(np.isnan(gene_m), np.isnan(gene_s))
+    m = ~np.isnan(gene_s)
+    npt.assert_allclose(gene_m[m], gene_s[m], rtol=1e-6, atol=1e-7)
+
+
 def test_dryrun_multichip_entrypoint():
     import importlib.util
     from pathlib import Path
