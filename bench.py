@@ -106,6 +106,93 @@ def main():
         best = per_iter if best is None else min(best, per_iter)
     dt = max(best, 1e-9)
 
+    # --- gene-values mode (fused kernel + XLA back-projection epilogue) ---
+    gene_fn = build_infercnv_fn(
+        plan,
+        n_ref_rows=2,
+        lfc_clip=3.0,
+        dynamic_threshold=1.5,
+        num_chunks=num_chunks,
+        calculate_gene_values=True,
+        dtype=jnp.float32,
+    )
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def gene_loop(seed, iters):
+        key = jax.random.PRNGKey(seed)
+        kx, kr = jax.random.split(key)
+        x = jax.random.normal(kx, (n_cells, width), dtype=jnp.float32)
+        ref0 = jax.random.normal(kr, (2, width), dtype=jnp.float32)
+        chunk_ids = (jnp.arange(n_cells, dtype=jnp.int32) // chunksize).astype(jnp.int32)
+
+        def body(i, carry):
+            refv, acc = carry
+            y, g = gene_fn(x, refv, chunk_ids)
+            s = jnp.sum(y[0, :8]) + jnp.nansum(g[0, :8])
+            return (ref0 + s * 1e-30, acc + s)
+
+        _, acc = jax.lax.fori_loop(0, iters, body, (ref0, jnp.float32(0.0)))
+        return acc
+
+    def gene_timed(iters):
+        t0 = time.perf_counter()
+        float(gene_loop(0, iters))
+        return time.perf_counter() - t0
+
+    gene_timed(1)
+    gene_timed(9)
+    gene_dt = min((gene_timed(9) - gene_timed(1)) / 8.0 for _ in range(2))
+
+    # --- end-to-end: CSR AnnData-style input -> host pack -> device -> CSR out
+    def e2e(n_cells_e2e, density=0.05):
+        import scipy.sparse as s_sp
+
+        from infercnvpy_tpu.ops.infercnv_kernel import _pack_lut, pack_csr
+        from infercnvpy_tpu.tl._infercnv import _infercnv_compute
+
+        rng = np.random.default_rng(1)
+        nnz_per_row = max(1, int(n_genes * density))
+        indptr = np.arange(n_cells_e2e + 1, dtype=np.int64) * nnz_per_row
+        indices = rng.integers(0, n_genes, size=n_cells_e2e * nnz_per_row, dtype=np.int32)
+        data = rng.normal(size=n_cells_e2e * nnz_per_row).astype(np.float32) ** 2
+        expr = s_sp.csr_matrix((data, indices, indptr), shape=(n_cells_e2e, n_genes))
+        expr.sum_duplicates()
+        ref = np.asarray(expr[: min(2000, n_cells_e2e)].mean(axis=0), dtype=np.float64)
+
+        # host-pack-only pass (the CSR->packed-dense densification cost)
+        lut = _pack_lut(plan, n_genes)
+        t0 = time.perf_counter()
+        for start in range(0, n_cells_e2e, 16384):
+            pack_csr(expr[start : start + 16384], plan, lut)
+        t_pack = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        chr_pos, res, _ = _infercnv_compute(
+            expr,
+            var,
+            ref,
+            lfc_clip=3.0,
+            window_size=window,
+            step=step,
+            dynamic_threshold=1.5,
+            chunksize=chunksize,
+            calculate_gene_values=False,
+            batch_cells=None,
+            dtype=np.float32,
+        )
+        t_total = time.perf_counter() - t0
+        assert res.shape == (n_cells_e2e, plan.n_windows)
+        return {
+            "n_cells": n_cells_e2e,
+            "density": density,
+            "total_sec": float(f"{t_total:.4g}"),
+            "cells_per_sec": float(f"{n_cells_e2e / t_total:.4g}"),
+            "host_pack_sec": float(f"{t_pack:.4g}"),
+            "device_share": float(f"{max(0.0, 1 - t_pack / t_total):.3g}"),
+        }
+
+    e2e_results = [e2e(16384), e2e(102400)]
+
     ops = n_cells * plan.n_windows * window  # useful cell-gene-window MACs
     ops_per_sec = ops / dt
     result = {
@@ -123,6 +210,9 @@ def main():
             "sec_per_call": float(f"{dt:.6g}"),
             "cells_per_sec": float(f"{n_cells / dt:.4g}"),
             "effective_gbps": float(f"{n_cells * n_genes * 4 / dt / 1e9:.4g}"),
+            "gene_values_sec_per_call": float(f"{gene_dt:.6g}"),
+            "gene_values_slowdown": float(f"{gene_dt / dt:.3g}"),
+            "end_to_end_csr": e2e_results,
         },
     }
     print(json.dumps(result))

@@ -106,11 +106,11 @@ def genomic_position_from_gtf(
 
     missing_from_gtf = len(set(gene_ids_adata) - set(gtf[gtf_gene_id].values))
     if missing_from_gtf:
-        warn(f"GTF file misses annotation for {missing_from_gtf} genes in adata.")
+        warn(f"{missing_from_gtf} genes of `adata` have no entry in the GTF file and stay unannotated.")
 
     duplicated_symbols = np.sum(gtf["gene_name"].duplicated())
     if duplicated_symbols:
-        warn(f"Skipped {duplicated_symbols} genes because of duplicate identifiers in GTF file.")
+        warn(f"Dropped {duplicated_symbols} genes whose identifier appears more than once in the GTF file.")
         gtf = gtf.loc[~gtf[gtf_gene_id].duplicated(keep=False), :]
 
     var_annotated = _merge_into_var(adata, gtf, adata_gene_id, gtf_gene_id, inplace=False)
@@ -185,11 +185,11 @@ def genomic_position_from_biomart(
     gene_ids_adata = (adata.var_names if adata_gene_id is None else adata.var[adata_gene_id]).values
     missing_from_biomart = len(set(gene_ids_adata) - set(biomart_annot[biomart_gene_id].values))
     if missing_from_biomart:
-        warn(f"Biomart misses annotation for {missing_from_biomart} genes in adata. Did you use ENSEMBL ids?")
+        warn(f"{missing_from_biomart} genes of `adata` have no Biomart annotation (are the ids ENSEMBL?).")
 
     duplicated_symbols = np.sum(biomart_annot[biomart_gene_id].duplicated())
     if duplicated_symbols:
-        warn(f"Skipped {duplicated_symbols} genes because of duplicate identifiers.")
+        warn(f"Dropped {duplicated_symbols} genes whose identifier maps to more than one Biomart record.")
         biomart_annot = biomart_annot.loc[~biomart_annot[biomart_gene_id].duplicated(keep=False), :]
 
     return _merge_into_var(adata, biomart_annot, adata_gene_id, biomart_gene_id, inplace)

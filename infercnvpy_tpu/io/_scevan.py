@@ -45,8 +45,8 @@ def read_scevan(
 
     if len(scevan_res_file) != 1 or len(scevan_subclones_file) > 1 or len(scevan_anno_file) != 1:
         raise ValueError(
-            "There must be exactely one CNA_mtx and count_mtx_annot file and at most one "
-            "CNAmtxSubclones file in the result directory!"
+            "Expected the SCEVAN output directory to contain one *_CNAmtx.RData, one "
+            "*_count_mtx_annot.RData, and at most one *_CNAmtxSubclones.RData file."
         )
 
     if scevan_res_table is not None:

@@ -247,11 +247,13 @@ def build_infercnv_fn(
 
     # fused Pallas path: center+clip+conv+median+stats in one HBM pass.
     # Default on accelerators in f32 (mode "fast"); force with mode "fused"
-    # (runs interpreted on CPU — used by tests); unavailable with
-    # calculate_gene_values (that path needs the pre-centering windows).
+    # (runs interpreted on CPU — used by tests).  Gene values come from an
+    # XLA epilogue over the kernel's median-centered windows: the per-cell
+    # median cancels out of `gene_values - gene_median`, so the pre-median
+    # windows are never needed (reference computes them via a python dict
+    # loop, reference: tl/_infercnv.py:247-291).
     use_fused = (
         smooth_mode in ("fast", "fused")
-        and not calculate_gene_values
         and jnp.dtype(dtype) == jnp.float32
         and (smooth_mode == "fused" or jax.default_backend() != "cpu")
     )
@@ -262,6 +264,7 @@ def build_infercnv_fn(
             dynamic_threshold=dynamic_threshold,
             num_chunks=num_chunks,
             axis_name=axis_name,
+            calculate_gene_values=calculate_gene_values,
             **({} if row_tile is None else {"row_tile": row_tile}),
         )
 
@@ -325,11 +328,21 @@ def _build_fused_fn(
     num_chunks: int,
     row_tile: int = 256,
     axis_name: str | None = None,
+    calculate_gene_values: bool = False,
 ):
     """Assemble the fused-kernel pipeline (see ops.pallas_fused)."""
     from .pallas_fused import fused_center_smooth_median
 
     n_win = plan.n_windows
+    covered_idx = np.flatnonzero(plan.gene_win_lo >= 0)
+    use_pallas_median = jax.default_backend() != "cpu"
+
+    def _row_median(a):
+        if use_pallas_median:
+            from .pallas_select import row_median
+
+            return row_median(a)
+        return jnp.median(a, axis=1)
 
     @jax.jit
     def fn(x, ref, chunk_ids):
@@ -349,6 +362,16 @@ def _build_fused_fn(
         )
         x_res = xr_all[:n]
 
+        gene_res = None
+        if calculate_gene_values:
+            # window prefix-means are linear, so computing them on the
+            # median-centered windows shifts both the gene values AND their
+            # median by the same per-cell constant — the difference is
+            # identical to the reference's pre-median formulation
+            gvals = _gene_values(x_res, plan, jnp.float32)
+            gmed = _row_median(gvals[:, jnp.asarray(covered_idx)])
+            gene_res = gvals - gmed[:, None]
+
         if dynamic_threshold is not None:
             cid = chunk_ids
             seg_sum = jax.ops.segment_sum(rs[:n], cid, num_segments=num_chunks + 1)
@@ -364,8 +387,10 @@ def _build_fused_fn(
             thr = dynamic_threshold * jnp.sqrt(var)
             row_thr = thr[cid][:, None]
             x_res = jnp.where(jnp.abs(x_res) < row_thr, jnp.zeros_like(x_res), x_res)
+            if gene_res is not None:
+                gene_res = jnp.where(jnp.abs(gene_res) < row_thr, jnp.zeros_like(gene_res), gene_res)
 
-        return x_res, None
+        return x_res, gene_res
 
     return fn
 

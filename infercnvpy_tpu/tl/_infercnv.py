@@ -274,8 +274,8 @@ def _get_reference(
     if reference is None:
         if reference_key is None or reference_cat is None:
             warn(
-                "Using mean of all cells as reference. For better results, "
-                "provide either `reference`, or both `reference_key` and `reference_cat`. "
+                "No reference given — falling back to the mean over ALL cells as the baseline; "
+                "pass `reference` or `reference_key`+`reference_cat` for meaningful CNV calls."
             )
             reference = _mean0(X)
         else:
@@ -286,9 +286,8 @@ def _get_reference(
             reference_cat_in_obs = np.isin(reference_cat, obs_col)
             if not np.all(reference_cat_in_obs):
                 raise ValueError(
-                    "The following reference categories were not found in "
-                    "adata.obs[reference_key]: "
-                    f"{reference_cat[~reference_cat_in_obs]}"
+                    f"Categories {reference_cat[~reference_cat_in_obs]} do not occur "
+                    f"in `adata.obs[{reference_key!r}]`."
                 )
             reference = np.vstack([_mean0(X[np.asarray(obs_col.values == cat), :]) for cat in reference_cat])
 
@@ -296,7 +295,7 @@ def _get_reference(
     if reference.ndim == 1:
         reference = reference[np.newaxis, :]
     if reference.shape[1] != adata.shape[1]:
-        raise ValueError("Reference must match the number of genes in AnnData. ")
+        raise ValueError("The reference baseline has a different gene count than `adata`.")
     return reference
 
 

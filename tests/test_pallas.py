@@ -71,3 +71,35 @@ def test_fused_pipeline_matches_unfused():
         a, _ = f_ref(x, ref, cid)
         b, _ = f_fus(x, ref, cid)
         npt.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_gene_values_matches_unfused():
+    """Fused path's gene-values epilogue (median-cancellation identity) ==
+    unfused path's pre-median formulation."""
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from infercnvpy_tpu.genome import build_window_plan
+    from infercnvpy_tpu.ops.infercnv_kernel import _pack_lut, build_infercnv_fn, pack_columns
+
+    rng = np.random.default_rng(3)
+    rows = [(f"chr{c + 1}", i * 100) for c, g in enumerate([150, 40, 7, 90]) for i in range(g)]
+    var = pd.DataFrame(rows, columns=["chromosome", "start"])
+    var["end"] = var["start"] + 1
+    for w, s, dt in [(100, 10, 1.5), (9, 3, None), (11, 7, 1.5)]:
+        plan = build_window_plan(var, w, s)
+        lut = _pack_lut(plan, len(var))
+        x = pack_columns(rng.normal(size=(21, len(var))).astype(np.float32), plan, lut)
+        ref = pack_columns(rng.normal(size=(2, len(var))).astype(np.float32), plan, lut)
+        cid = (np.arange(21) // 10).astype(np.int32)
+        kwargs = dict(
+            n_ref_rows=2, lfc_clip=1.0, dynamic_threshold=dt, num_chunks=3,
+            dtype=jnp.float32, calculate_gene_values=True,
+        )
+        a, ga = build_infercnv_fn(plan, smooth_mode="phase", **kwargs)(x, ref, cid)
+        b, gb = build_infercnv_fn(plan, smooth_mode="fused", **kwargs)(x, ref, cid)
+        npt.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+        ga, gb = np.asarray(ga), np.asarray(gb)
+        npt.assert_array_equal(np.isnan(ga), np.isnan(gb))
+        m = ~np.isnan(ga)
+        npt.assert_allclose(ga[m], gb[m], rtol=1e-5, atol=1e-5)
