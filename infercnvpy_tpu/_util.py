@@ -16,24 +16,17 @@ __all__ = ["_ensure_array", "_choose_mtx_rep", "warn", "info"]
 
 def _ensure_array(a):
     """If ``a`` is a np.matrix, turn it into a plain ndarray (reference: _util.py:4-9)."""
-    if isinstance(a, np.matrix):
-        return a.A
-    return a
+    return np.asarray(a) if isinstance(a, np.matrix) else a
 
 
 def _choose_mtx_rep(adata, use_raw: bool = False, layer: str | None = None):
-    """Select X / raw.X / a layer (reference: _util.py:12-24)."""
-    is_layer = layer is not None
-    if use_raw and is_layer:
-        raise ValueError(
-            f"Cannot use expression from both layer and raw. You provided:'use_raw={use_raw}' and 'layer={layer}'"
-        )
-    if is_layer:
+    """Select the expression matrix: a named layer, ``raw.X``, or ``X``
+    (same precedence and conflict rule as reference: _util.py:12-24)."""
+    if use_raw and layer is not None:
+        raise ValueError(f"use_raw=True conflicts with layer={layer!r}: pick one expression source")
+    if layer is not None:
         return adata.layers[layer]
-    elif use_raw:
-        return adata.raw.X
-    else:
-        return adata.X
+    return adata.raw.X if use_raw else adata.X
 
 
 def warn(msg: str):

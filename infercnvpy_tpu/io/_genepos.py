@@ -136,11 +136,33 @@ _BIOMART_QUERY = """<?xml version="1.0" encoding="UTF-8"?>
 </Query>"""
 
 
-def fetch_biomart_annotations(species: str, attrs: list[str], *, url: str = _BIOMART_URL, timeout: float = 60.0) -> pd.DataFrame:
-    """Query ENSEMBL Biomart for gene annotations (network access required)."""
+def fetch_biomart_annotations(
+    species: str,
+    attrs: list[str],
+    *,
+    url: str = _BIOMART_URL,
+    timeout: float = 60.0,
+    use_cache: bool = True,
+) -> pd.DataFrame:
+    """Query ENSEMBL Biomart for gene annotations (network access required).
+
+    ``use_cache=True`` (default) stores each query's result under
+    ``settings.datasetdir/biomart`` and serves repeats from disk (the
+    reference caches through scanpy, reference: io/_genepos.py:39-49).
+    """
+    import hashlib
     import io as _io
     import urllib.parse
     import urllib.request
+
+    cache_file = None
+    if use_cache:
+        from .. import settings
+
+        key = hashlib.sha256(f"{url}|{species}|{','.join(attrs)}".encode()).hexdigest()[:24]
+        cache_file = settings.datasetdir / "biomart" / f"{key}.parquet"
+        if cache_file.exists():
+            return pd.read_parquet(cache_file)
 
     attr_xml = "\n    ".join(f'<Attribute name="{a}" />' for a in attrs)
     query = _BIOMART_QUERY.format(dataset=f"{species}_gene_ensembl", attributes=attr_xml)
@@ -149,7 +171,14 @@ def fetch_biomart_annotations(species: str, attrs: list[str], *, url: str = _BIO
         text = resp.read().decode()
     if text.startswith("Query ERROR"):
         raise RuntimeError(f"Biomart query failed: {text[:500]}")
-    return pd.read_csv(_io.StringIO(text), sep="\t", names=attrs)
+    df = pd.read_csv(_io.StringIO(text), sep="\t", names=attrs)
+    if cache_file is not None:
+        try:
+            cache_file.parent.mkdir(parents=True, exist_ok=True)
+            df.to_parquet(cache_file)
+        except Exception:  # parquet engine missing / read-only FS: cache is best-effort
+            pass
+    return df
 
 
 def genomic_position_from_biomart(

@@ -332,17 +332,28 @@ def _build_fused_fn(
 ):
     """Assemble the fused-kernel pipeline (see ops.pallas_fused)."""
     from .pallas_fused import fused_center_smooth_median
+    from .pallas_select import row_median_weighted
 
     n_win = plan.n_windows
-    covered_idx = np.flatnonzero(plan.gene_win_lo >= 0)
-    use_pallas_median = jax.default_backend() != "cpu"
 
-    def _row_median(a):
-        if use_pallas_median:
-            from .pallas_select import row_median
-
-            return row_median(a)
-        return jnp.median(a, axis=1)
+    if calculate_gene_values:
+        # Genes sharing a (first, last) covering-window range have IDENTICAL
+        # values, so the per-gene matrix collapses to ~2·n_windows unique
+        # coverage groups: the gene median becomes a *weighted* median over
+        # the group values (group size = multiplicity), and the final
+        # (cells × genes) matrix is a single column gather of the gated group
+        # values.  This removes the O(cells × genes) median scan that
+        # round 2's bench OOM-ed on (the reference instead loops a python
+        # dict per window, reference: tl/_infercnv.py:247-291).
+        lo_np, hi_np = plan.gene_win_lo, plan.gene_win_hi
+        covered_np = lo_np >= 0
+        enc = lo_np.astype(np.int64) * (n_win + 1) + hi_np
+        uniq, inv = np.unique(enc[covered_np], return_inverse=True)
+        g_counts = np.bincount(inv, minlength=len(uniq)).astype(np.int32)
+        g_lo = (uniq // (n_win + 1)).astype(np.int32)
+        g_hi = (uniq % (n_win + 1)).astype(np.int32)
+        g_of_gene = np.zeros(len(lo_np), np.int32)
+        g_of_gene[covered_np] = inv
 
     @jax.jit
     def fn(x, ref, chunk_ids):
@@ -362,15 +373,19 @@ def _build_fused_fn(
         )
         x_res = xr_all[:n]
 
-        gene_res = None
+        u_res = None
         if calculate_gene_values:
             # window prefix-means are linear, so computing them on the
             # median-centered windows shifts both the gene values AND their
             # median by the same per-cell constant — the difference is
             # identical to the reference's pre-median formulation
-            gvals = _gene_values(x_res, plan, jnp.float32)
-            gmed = _row_median(gvals[:, jnp.asarray(covered_idx)])
-            gene_res = gvals - gmed[:, None]
+            prefix = jnp.concatenate(
+                [jnp.zeros((x_res.shape[0], 1), jnp.float32), jnp.cumsum(x_res, axis=1)], axis=1
+            )
+            u_cnt = jnp.asarray((g_hi - g_lo + 1).astype(np.float32))[None, :]
+            uvals = (prefix[:, jnp.asarray(g_hi + 1)] - prefix[:, jnp.asarray(g_lo)]) / u_cnt
+            gmed = row_median_weighted(uvals, g_counts)
+            u_res = uvals - gmed[:, None]
 
         if dynamic_threshold is not None:
             cid = chunk_ids
@@ -387,8 +402,15 @@ def _build_fused_fn(
             thr = dynamic_threshold * jnp.sqrt(var)
             row_thr = thr[cid][:, None]
             x_res = jnp.where(jnp.abs(x_res) < row_thr, jnp.zeros_like(x_res), x_res)
-            if gene_res is not None:
-                gene_res = jnp.where(jnp.abs(gene_res) < row_thr, jnp.zeros_like(gene_res), gene_res)
+            if u_res is not None:
+                u_res = jnp.where(jnp.abs(u_res) < row_thr, jnp.zeros_like(u_res), u_res)
+
+        gene_res = None
+        if u_res is not None:
+            # one gather + one write materializes the (cells × genes) output
+            gene_res = jnp.where(
+                jnp.asarray(covered_np)[None, :], u_res[:, jnp.asarray(g_of_gene)], jnp.float32(jnp.nan)
+            )
 
         return x_res, gene_res
 

@@ -26,7 +26,20 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["row_median", "row_kth_smallest"]
+__all__ = ["row_median", "row_kth_smallest", "row_median_weighted"]
+
+# Scoped-VMEM ceiling for these kernels.  The compiler default is 16 MB; a
+# (row_tile=256 × width=20k) f32 tile plus its int32 key copy is ~40 MB, which
+# is exactly how round 2's bench died (BENCH_r02: 39 MB vs 16 MB at 20k genes).
+_VMEM_LIMIT_BYTES = 128 * 1024 * 1024
+
+
+def _auto_row_tile(requested: int, n: int, w: int, n_bufs: float = 3.0) -> int:
+    """Shrink the row tile so ~n_bufs f32 copies of (tile × w) fit in budget."""
+    budget = int(_VMEM_LIMIT_BYTES * 0.7)
+    cap = int(budget / (n_bufs * 4.0 * max(w, 1)))
+    cap = max(8, (cap // 8) * 8)
+    return max(1, min(requested, cap, n))
 
 
 def _interpret() -> bool:
@@ -91,6 +104,7 @@ def _row_median_impl(x, row_tile: int):
         grid=grid,
         in_specs=[pl.BlockSpec((row_tile, w), lambda i: (i, 0), memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((row_tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES),
         interpret=_interpret(),
     )(x)[:, 0]
 
@@ -100,7 +114,7 @@ def row_median(x, row_tile: int = 256):
     n, w = x.shape
     if n == 0 or w == 0:
         return jnp.zeros((n,), jnp.float32)
-    row_tile = min(row_tile, n)
+    row_tile = _auto_row_tile(row_tile, n, w)
     pad = (-n) % row_tile
     xj = jnp.asarray(x, jnp.float32)
     if pad:
@@ -112,7 +126,7 @@ def row_median(x, row_tile: int = 256):
 def row_kth_smallest(x, k: int, row_tile: int = 256):
     """Exact per-row k-th smallest (0-based) of a 2-D f32 array."""
     n, w = x.shape
-    row_tile = min(row_tile, n)
+    row_tile = _auto_row_tile(row_tile, n, w)
     pad = (-n) % row_tile
     xj = jnp.asarray(x, jnp.float32)
     if pad:
@@ -130,7 +144,84 @@ def row_kth_smallest(x, k: int, row_tile: int = 256):
             grid=(xin.shape[0] // row_tile,),
             in_specs=[pl.BlockSpec((row_tile, w), lambda i: (i, 0), memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((row_tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES),
             interpret=_interpret(),
         )(xin)[:, 0]
 
     return impl(xj)[:n]
+
+
+def _wmedian_kernel(x_ref, w_ref, out_ref, *, total: int):
+    """Weighted median: median of each row's values repeated ``w_ref`` times.
+
+    Same 32-step radix bisection as ``_median_kernel``, but ranks count with
+    integer multiplicities — so a 20k-gene median whose values collapse to
+    ~2·n_windows distinct coverage groups costs only the group width.
+    Zero-weight columns are ignored entirely (used for masking).
+    """
+    keys = _float_key(x_ref[:])
+    wts = w_ref[:]  # (1, W) int32, zero = masked out
+    zero = jnp.int32(0)
+    k_hi = total // 2
+    tc = keys.shape[0]
+    lo0 = jnp.full((tc, 1), jnp.int32(-(2**31)))
+    hi0 = jnp.full((tc, 1), jnp.int32(2**31 - 1))
+
+    def body(_, state):
+        lo, hi = state
+        mid = (lo & hi) + ((lo ^ hi) >> 1)
+        cnt = jnp.sum(jnp.where(keys <= mid, wts, zero), axis=1, keepdims=True)
+        go_low = cnt >= (k_hi + 1)
+        return jnp.where(go_low, lo, mid + 1), jnp.where(go_low, mid, hi)
+
+    lo, _ = jax.lax.fori_loop(0, 32, body, (lo0, hi0))
+    kh = lo  # (tc, 1) key of rank k_hi
+    v_hi = _key_to_float(kh[:, 0])
+    if total % 2 == 1:
+        out_ref[:, 0] = v_hi
+    else:
+        # lower median: if fewer than k_hi elements are strictly below kh,
+        # rank k_hi-1 is kh itself (a duplicate); else the largest key < kh
+        NEG = jnp.int32(-(2**31))
+        lt = (keys < kh) & (wts > zero)
+        cnt_lt = jnp.sum(jnp.where(lt, wts, zero), axis=1)
+        max_lt = jnp.max(jnp.where(lt, keys, NEG), axis=1)
+        kl = jnp.where(cnt_lt < k_hi, kh[:, 0], max_lt)
+        out_ref[:, 0] = (_key_to_float(kl) + v_hi) / 2.0
+
+
+@partial(jax.jit, static_argnames=("row_tile", "total"))
+def _row_wmedian_impl(x, wts, row_tile: int, total: int):
+    n, w = x.shape
+    return pl.pallas_call(
+        partial(_wmedian_kernel, total=total),
+        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
+        grid=(n // row_tile,),
+        in_specs=[
+            pl.BlockSpec((row_tile, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((row_tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES),
+        interpret=_interpret(),
+    )(x, wts)[:, 0]
+
+
+def row_median_weighted(x, weights, row_tile: int = 256):
+    """Exact per-row weighted median of a 2-D f32 array.
+
+    Equivalent to ``np.median(np.repeat(row, weights))`` per row, for integer
+    ``weights`` (shape ``(w,)``); zero weights drop the column.
+    """
+    n, w = x.shape
+    weights = np.asarray(weights, dtype=np.int32)
+    total = int(weights.sum())
+    if n == 0 or total == 0:
+        return jnp.zeros((n,), jnp.float32)
+    row_tile = _auto_row_tile(row_tile, n, w)
+    pad = (-n) % row_tile
+    xj = jnp.asarray(x, jnp.float32)
+    if pad:
+        xj = jnp.concatenate([xj, jnp.zeros((pad, w), jnp.float32)], axis=0)
+    med = _row_wmedian_impl(xj, jnp.asarray(weights.reshape(1, w)), row_tile, total)
+    return med[:n]

@@ -49,23 +49,47 @@ def _binary_search_beta(d2, target_entropy):
     return p / jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-12)
 
 
-@partial(jax.jit, static_argnames=("n_iter", "exag_iter"))
-def _optimize(Y0, P_rows, P_cols, P_vals, n_iter, exag_iter, early_exaggeration, learning_rate):
-    n = Y0.shape[0]
+def _row_block(n: int) -> int:
+    """Row-tile size bounding the repulsion working set to ~128 MB."""
+    rb = int(128e6 / (12.0 * max(n, 1)))
+    return max(8, min(2048, (rb // 8) * 8, n))
+
+
+@partial(jax.jit, static_argnames=("n_iter", "exag_iter", "n_valid", "rb"))
+def _optimize(Y0, P_rows, P_cols, P_vals, n_iter, exag_iter, early_exaggeration, learning_rate, n_valid, rb):
+    """Y0 is padded to a multiple of ``rb`` rows; rows >= n_valid are inert."""
+    n_pad = Y0.shape[0]
+    nb = n_pad // rb
+    valid = (jnp.arange(n_pad) < n_valid).astype(jnp.float32)
 
     def grad_fn(Y, exag):
-        diff_q = Y[:, None, :] - Y[None, :, :]  # (n, n, 2): fine, d=2
-        d2 = jnp.sum(diff_q * diff_q, axis=2)
-        q_num = 1.0 / (1.0 + d2)
-        q_num = q_num.at[jnp.arange(n), jnp.arange(n)].set(0.0)
-        Z = jnp.maximum(jnp.sum(q_num), 1e-12)
+        # repulsive: blocked over row tiles — never materializes (n, n, ·).
+        # Per tile:  q_ij = 1/(1+|y_i-y_j|²) via the matmul expansion of d²;
+        # force_i = (Σ_j q²)·y_i − q²·Y  (one skinny matmul), Z accumulated.
+        sq = jnp.sum(Y * Y, axis=1)
+
+        def rep_block(args):
+            yb, sqb, base = args
+            row_ok = ((base + jnp.arange(rb)) < n_valid).astype(jnp.float32)
+            d2 = sqb[:, None] + sq[None, :] - 2.0 * (yb @ Y.T)
+            q = 1.0 / (1.0 + jnp.maximum(d2, 0.0))
+            q = q * valid[None, :] * row_ok[:, None]
+            q = q.at[jnp.arange(rb), base + jnp.arange(rb)].set(0.0)
+            q2 = q * q
+            s = jnp.sum(q2, axis=1)
+            force = s[:, None] * yb - q2 @ Y
+            return force, jnp.sum(q)
+
+        forces, zparts = jax.lax.map(
+            rep_block,
+            (Y.reshape(nb, rb, 2), sq.reshape(nb, rb), jnp.arange(nb, dtype=jnp.int32) * rb),
+        )
+        Z = jnp.maximum(jnp.sum(zparts), 1e-12)
+        rep = forces.reshape(n_pad, 2) / Z
         # attractive: sparse over kNN edges
         pd = Y[P_rows] - Y[P_cols]
         pq = 1.0 / (1.0 + jnp.sum(pd * pd, axis=1))
         att = jnp.zeros_like(Y).at[P_rows].add((exag * P_vals * pq)[:, None] * pd)
-        # repulsive: dense over the 2-D embedding
-        rep_w = q_num * q_num / Z
-        rep = jnp.sum(rep_w[:, :, None] * diff_q, axis=1)
         return 4.0 * (att - rep)
 
     def step(i, state):
@@ -76,8 +100,8 @@ def _optimize(Y0, P_rows, P_cols, P_vals, n_iter, exag_iter, early_exaggeration,
         same_sign = jnp.sign(g) == jnp.sign(vel)
         gains = jnp.clip(jnp.where(same_sign, gains * 0.8, gains + 0.2), 0.01, None)
         vel = momentum * vel - learning_rate * gains * g
-        Y = Y + vel
-        Y = Y - jnp.mean(Y, axis=0, keepdims=True)
+        Y = Y + vel * valid[:, None]
+        Y = Y - jnp.sum(Y * valid[:, None], axis=0, keepdims=True) / n_valid
         return Y, vel, gains
 
     Y, _, _ = jax.lax.fori_loop(
@@ -95,10 +119,22 @@ def tsne_embed(
     early_exaggeration: float = 12.0,
     learning_rate: float = 200.0,
     seed: int = 0,
+    max_cells: int | None = 50_000,
 ) -> np.ndarray:
-    """Embed X (cells × features, usually the CNV PCA) into 2-D with t-SNE."""
+    """Embed X (cells × features, usually the CNV PCA) into 2-D with t-SNE.
+
+    The repulsive term is exact O(n²) work per iteration (blocked so memory
+    stays bounded); above ``max_cells`` this is declined with guidance rather
+    than left to run for hours — pass ``max_cells=None`` to override.
+    """
     X = np.asarray(X, dtype=np.float32)
     n = X.shape[0]
+    if max_cells is not None and n > max_cells:
+        raise ValueError(
+            f"t-SNE on {n} cells exceeds max_cells={max_cells}: the exact O(n²) "
+            "repulsion would take hours at this size. Use tl.umap (scales near-"
+            "linearly), subsample, or pass max_cells=None to force it."
+        )
     perplexity = min(perplexity, max(1.0, (n - 1) / 3.0))
     k = int(min(n - 1, max(3, 3 * perplexity)))
 
@@ -113,7 +149,9 @@ def tsne_embed(
     P = P.tocoo()
 
     rng = np.random.default_rng(seed)
-    Y0 = (rng.standard_normal((n, n_components)) * 1e-4).astype(np.float32)
+    rb = _row_block(n)
+    n_pad = -(-n // rb) * rb
+    Y0 = (rng.standard_normal((n_pad, n_components)) * 1e-4).astype(np.float32)
 
     Y = _optimize(
         jnp.asarray(Y0),
@@ -124,5 +162,7 @@ def tsne_embed(
         250,
         float(early_exaggeration),
         float(learning_rate),
+        n,
+        rb,
     )
-    return np.asarray(Y, dtype=np.float32)
+    return np.asarray(Y[:n], dtype=np.float32)

@@ -40,7 +40,24 @@ def _group_order(adata, groupby: str):
     return order, cats, np.asarray(values)[order]
 
 
-def _draw_heatmap(X, row_groups, group_names, chr_pos_dict, n_windows, cmap, figsize, vmin, vmax):
+def _dendrogram_group_order(X, groups, group_values) -> list:
+    """Group order from hierarchical clustering of per-group mean profiles
+    (the behavior of the reference's ``dendrogram=True`` pass-through to
+    ``sc.pl.heatmap``, reference: pl/_chromosome_heatmap.py:74-85)."""
+    from scipy.cluster.hierarchy import leaves_list, linkage
+
+    means = []
+    for g in groups:
+        mask = np.asarray(group_values == g)
+        sub = X[mask, :]
+        means.append(np.asarray(sub.mean(axis=0)).ravel())
+    if len(means) < 3:
+        return list(groups)
+    order = leaves_list(linkage(np.vstack(means), method="complete", metric="euclidean"))
+    return [groups[i] for i in order]
+
+
+def _draw_heatmap(X, row_groups, group_names, chr_pos_dict, n_windows, cmap, figsize, vmin, vmax, **imshow_kwargs):
     import matplotlib.pyplot as plt
     from matplotlib.colors import TwoSlopeNorm
 
@@ -59,7 +76,8 @@ def _draw_heatmap(X, row_groups, group_names, chr_pos_dict, n_windows, cmap, fig
     gax = fig.add_subplot(gs[0, 0])
     ax = fig.add_subplot(gs[0, 1])
 
-    ax.imshow(X, aspect="auto", interpolation="nearest", cmap=cmap, norm=norm)
+    imshow_kwargs.setdefault("interpolation", "nearest")
+    ax.imshow(X, aspect="auto", cmap=cmap, norm=norm, **imshow_kwargs)
 
     chr_pos = list(chr_pos_dict.values())
     ax.vlines(np.asarray(chr_pos[1:]) - 0.5, lw=0.6, ymin=-0.5, ymax=X.shape[0] - 0.5, color="black")
@@ -99,12 +117,15 @@ def chromosome_heatmap(
     save=None,
     vmin=None,
     vmax=None,
+    dendrogram: bool = False,
     **kwargs,
 ):
     """Heatmap of smoothed gene expression by chromosome, cells grouped by ``groupby``.
 
     Reference behavior: pl/_chromosome_heatmap.py:11-92 (TwoSlopeNorm centered
     at 0, chromosome span labels, boundary vlines, cnv_leiden guard).
+    ``dendrogram=True`` orders the groups by hierarchical clustering of their
+    mean CNV profiles; remaining ``**kwargs`` go to ``Axes.imshow``.
     """
     if groupby == "cnv_leiden" and "cnv_leiden" not in adata.obs.columns:
         raise ValueError("'cnv_leiden' is not in `adata.obs`. Did you run `tl.leiden()`?")
@@ -113,10 +134,18 @@ def chromosome_heatmap(
         X = X.toarray()
     X = np.asarray(X)
 
-    order, _, row_groups = _group_order(adata, groupby)
+    order, cats, row_groups = _group_order(adata, groupby)
+    if dendrogram:
+        values = np.asarray(adata.obs[groupby])
+        cats = _dendrogram_group_order(X, [c for c in cats if (values == c).any()], values)
+        rank = {g: i for i, g in enumerate(cats)}
+        order = np.argsort([rank.get(v, len(rank)) for v in values], kind="stable")
+        row_groups = values[order]
     chr_pos_dict = _sorted_chr_pos(adata.uns[use_rep])
 
-    fig, axes = _draw_heatmap(X[order], row_groups, row_groups, chr_pos_dict, X.shape[1], cmap, figsize, vmin, vmax)
+    fig, axes = _draw_heatmap(
+        X[order], row_groups, row_groups, chr_pos_dict, X.shape[1], cmap, figsize, vmin, vmax, **kwargs
+    )
     shown = _save_or_show(fig, "heatmap", show, save)
     if not shown:
         return axes
@@ -134,13 +163,20 @@ def chromosome_heatmap_summary(
     save=None,
     vmin=None,
     vmax=None,
+    dendrogram: bool = False,
     **kwargs,
 ):
-    """Heatmap of the per-group average CNV profile (reference: :95-193)."""
+    """Heatmap of the per-group average CNV profile (reference: :95-193).
+
+    ``dendrogram=True`` orders the groups by hierarchical clustering of their
+    mean CNV profiles; remaining ``**kwargs`` go to ``Axes.imshow``.
+    """
     if groupby == "cnv_leiden" and "cnv_leiden" not in adata.obs.columns:
         raise ValueError("'cnv_leiden' is not in `adata.obs`. Did you run `tl.leiden()`?")
     X = adata.obsm[f"X_{use_rep}"]
     groups = list(dict.fromkeys(adata.obs[groupby]))
+    if dendrogram:
+        groups = _dendrogram_group_order(X, groups, np.asarray(adata.obs[groupby]))
     rows = []
     for g in groups:
         mask = np.asarray(adata.obs[groupby].values == g)
@@ -150,7 +186,7 @@ def chromosome_heatmap_summary(
     M = np.vstack(rows)
 
     chr_pos_dict = _sorted_chr_pos(adata.uns[use_rep])
-    fig, axes = _draw_heatmap(M, np.asarray(groups), groups, chr_pos_dict, M.shape[1], cmap, figsize, vmin, vmax)
+    fig, axes = _draw_heatmap(M, np.asarray(groups), groups, chr_pos_dict, M.shape[1], cmap, figsize, vmin, vmax, **kwargs)
     shown = _save_or_show(fig, "heatmap", show, save)
     if not shown:
         return axes

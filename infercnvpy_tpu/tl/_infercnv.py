@@ -130,12 +130,16 @@ def _pick_dtype(expr, dtype):
         return jnp.dtype(dtype) if not isinstance(dtype, str) else jnp.dtype(dtype)
     kind = expr.dtype.kind
     if kind in "iu" or expr.dtype == np.float64:
-        # float64 math matches the reference's numpy promotion; falls back to
-        # float32 silently unless jax x64 is enabled.
+        # float64 math matches the reference's numpy promotion
         import jax
 
         if jax.config.read("jax_enable_x64"):
             return jnp.float64
+        warn(
+            f"Input dtype {expr.dtype} implies float64 math (the reference's numpy "
+            "promotion), but jax x64 is disabled — computing in float32. "
+            'Enable with jax.config.update("jax_enable_x64", True) or pass dtype= explicitly.'
+        )
     return jnp.float32
 
 

@@ -117,3 +117,18 @@ def test_tsne_separates_blobs(blobs):
     assert emb.shape == (150, 2)
     assert np.isfinite(emb).all()
     assert _blob_separation(emb, labels) > 2.0
+
+
+def test_tsne_max_cells_guard():
+    """Oversized t-SNE inputs get a clear error with guidance instead of an
+    hours-long O(n^2) run; max_cells=None overrides."""
+    import numpy as np
+    import pytest
+
+    from infercnvpy_tpu.ops.tsne_ import tsne_embed
+
+    X = np.random.default_rng(0).normal(size=(64, 5)).astype(np.float32)
+    with pytest.raises(ValueError, match="max_cells"):
+        tsne_embed(X, max_cells=50)
+    Y = tsne_embed(X, max_cells=None, n_iter=20)
+    assert Y.shape == (64, 2)

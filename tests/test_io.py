@@ -225,3 +225,42 @@ def test_read_scevan(tmp_path):
     assert adata.shape[0] == 2  # cell_3 filtered by SCEVAN
     assert adata.obsm["X_scevan"].shape == (2, 2)
     assert adata.uns["scevan"]["chr_pos"] == {"chr1": 0, "chr2": 1}
+
+
+def test_biomart_cache_roundtrip(tmp_path, monkeypatch):
+    """Cached Biomart queries are served from disk without network access
+    (reference caches via scanpy's use_cache, io/_genepos.py:39-49)."""
+    import pandas as pd
+
+    from infercnvpy_tpu import settings
+    from infercnvpy_tpu.io._genepos import fetch_biomart_annotations
+
+    monkeypatch.setattr(settings, "datasetdir", tmp_path)
+
+    calls = {"n": 0}
+    payload = "ENSG1\t100\t200\t1\nENSG2\t300\t400\t2\n"
+
+    class _Resp:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def read(self):
+            calls["n"] += 1
+            return payload.encode()
+
+    import urllib.request
+
+    monkeypatch.setattr(urllib.request, "urlopen", lambda *a, **k: _Resp())
+
+    attrs = ["ensembl_gene_id", "start_position", "end_position", "chromosome_name"]
+    df1 = fetch_biomart_annotations("hsapiens", attrs)
+    assert calls["n"] == 1
+    df2 = fetch_biomart_annotations("hsapiens", attrs)
+    assert calls["n"] == 1  # second call hit the cache
+    pd.testing.assert_frame_equal(df1, df2)
+    df3 = fetch_biomart_annotations("hsapiens", attrs, use_cache=False)
+    assert calls["n"] == 2
+    pd.testing.assert_frame_equal(df1, df3)

@@ -4,7 +4,7 @@ import numpy as np
 import numpy.testing as npt
 import pytest
 
-from infercnvpy_tpu.ops.pallas_select import row_kth_smallest, row_median
+from infercnvpy_tpu.ops.pallas_select import row_kth_smallest, row_median, row_median_weighted
 
 
 @pytest.mark.parametrize("shape", [(8, 9), (16, 1793), (8, 1794), (8, 2)])
@@ -31,6 +31,34 @@ def test_row_median_negatives_and_ties():
     got = np.asarray(row_median(x, row_tile=3))
     want = np.median(x, axis=1).astype(np.float32)
     npt.assert_array_equal(got, want)
+
+
+def test_row_median_wide_auto_tile():
+    """20k-wide input (the BENCH_r02 VMEM-OOM config) must shrink its row tile
+    and still be exact; on real TPU this shape compiles under the raised
+    vmem limit (verified by bench.py's gene-values section)."""
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(16, 20000)).astype(np.float32)
+    got = np.asarray(row_median(x))
+    npt.assert_array_equal(got, np.median(x, axis=1).astype(np.float32))
+
+
+@pytest.mark.parametrize("w,seed", [(9, 0), (128, 1), (1793, 2)])
+def test_row_median_weighted_exact(w, seed):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(8, w)).astype(np.float32)
+    wts = rng.integers(0, 7, size=w).astype(np.int32)
+    wts[0] = 3  # ensure nonzero total
+    got = np.asarray(row_median_weighted(x, wts, row_tile=8))
+    want = np.stack([np.median(np.repeat(row, wts)) for row in x]).astype(np.float32)
+    npt.assert_array_equal(got, want)
+
+
+def test_row_median_weighted_uniform_matches_plain():
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(8, 101)).astype(np.float32)
+    got = np.asarray(row_median_weighted(x, np.ones(101, np.int32), row_tile=8))
+    npt.assert_array_equal(got, np.asarray(row_median(x, row_tile=8)))
 
 
 def test_row_kth_smallest():

@@ -31,6 +31,15 @@ def test_plot_heatmap_groupby_celltype(adata_oligodendroma):
     assert "heatmap_ax" in axes
 
 
+def test_plot_heatmap_dendrogram_and_kwargs(adata_infercnv):
+    """dendrogram= reorders groups; extra kwargs reach imshow (reference
+    passes them through to sc.pl.heatmap, pl/_chromosome_heatmap.py:74-85)."""
+    axes = cnv.pl.chromosome_heatmap(adata_infercnv, show=False, dendrogram=True, alpha=0.9)
+    assert "heatmap_ax" in axes
+    axes = cnv.pl.chromosome_heatmap_summary(adata_infercnv, show=False, dendrogram=True)
+    assert "heatmap_ax" in axes
+
+
 def test_plot_save(adata_infercnv, tmp_path):
     from infercnvpy_tpu import settings
 

@@ -1,0 +1,234 @@
+"""Differential tests against the ACTUAL reference implementation.
+
+When the upstream icbi-lab/infercnvpy source tree is available (at
+``$INFERCNVPY_REFERENCE_SRC`` or ``/root/reference``), load its numeric core
+verbatim (``tl/_infercnv.py`` — ``_infercnv_chunk``, ``_get_reference``,
+``_running_mean_by_chromosome``) with its non-numeric deps (scanpy.logging,
+anndata's AnnData type) shimmed out, and compare our pipeline against it on
+randomized inputs.  Unlike ``tests/oracle.py`` (a hand transliteration), this
+executes the reference's own code, so a shared misreading cannot pass silently.
+
+Skipped automatically when the reference tree is absent (e.g. public CI).
+"""
+
+import importlib.util
+import os
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import numpy.testing as npt
+import pandas as pd
+import pytest
+import scipy.sparse as sp
+
+REF_SRC = Path(os.environ.get("INFERCNVPY_REFERENCE_SRC", "/root/reference")) / "src" / "infercnvpy"
+
+pytestmark = pytest.mark.skipif(
+    not (REF_SRC / "tl" / "_infercnv.py").exists(),
+    reason="reference source tree not available",
+)
+
+
+@pytest.fixture(scope="module")
+def ref_mod():
+    """Load the reference tl/_infercnv.py as a standalone module."""
+    # Shim the imports the numeric core never exercises: scanpy (logging only)
+    # and anndata (AnnData appears in type annotations only).
+    if "scanpy" not in sys.modules:
+        scanpy = types.ModuleType("scanpy")
+        logging_mod = types.SimpleNamespace(
+            warning=lambda *a, **k: None, info=lambda *a, **k: None, hint=lambda *a, **k: None
+        )
+        scanpy.logging = logging_mod
+        sys.modules["scanpy"] = scanpy
+    if "anndata" not in sys.modules:
+        anndata = types.ModuleType("anndata")
+
+        class AnnData:  # placeholder for annotations / isinstance
+            pass
+
+        anndata.AnnData = AnnData
+        sys.modules["anndata"] = anndata
+
+    def _load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    if "infercnvpy" not in sys.modules:
+        pkg = types.ModuleType("infercnvpy")
+        pkg.__path__ = [str(REF_SRC)]
+        sys.modules["infercnvpy"] = pkg
+    _load("infercnvpy._util", REF_SRC / "_util.py")
+    return _load("infercnvpy.tl._infercnv", REF_SRC / "tl" / "_infercnv.py")
+
+
+def _make_var(rng, spec):
+    """spec: list of (chromosome, n_genes)."""
+    rows = []
+    for chrom, g in spec:
+        starts = np.sort(rng.integers(1, 10**7, size=g))
+        for s in starts:
+            rows.append((chrom, int(s), int(s) + 100))
+    var = pd.DataFrame(rows, columns=["chromosome", "start", "end"])
+    var.index = pd.Index([f"gene{i}" for i in range(len(var))])
+    return var
+
+
+CONFIGS = [
+    # (chrom spec, n_cells, window, step, n_ref, lfc_clip, dyn_thr, gene_values)
+    ([("chr1", 220), ("chr2", 150), ("chr3", 40)], 23, 100, 10, 2, 3.0, 1.5, False),
+    ([("chr1", 220), ("chr2", 150), ("chr3", 40)], 23, 100, 10, 2, 3.0, 1.5, True),
+    ([("chr1", 130), ("chr7", 7), ("chr11", 90)], 17, 11, 3, 1, 1.0, None, True),
+    ([("chr2", 64), ("chrM", 10), ("weird", 5), ("chr10", 101)], 9, 25, 5, 3, 2.0, 1.5, True),
+    ([("chr1", 99), ("chr2", 100)], 11, 100, 10, 2, 3.0, 1.5, True),  # all-small chromosomes
+]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS)
+def test_chunk_pipeline_matches_reference(ref_mod, cfg):
+    """Our device pipeline == the reference's `_infercnv_chunk`, bit-for-bit
+    semantics on randomized float64 data (reference: tl/_infercnv.py:411-457)."""
+    spec, n_cells, window, step, n_ref, clip, thr, gene_vals = cfg
+    rng = np.random.default_rng(hash(str(cfg)) % 2**31)
+    var = _make_var(rng, spec)
+    n_genes = len(var)
+    x = np.round(rng.normal(size=(n_cells, n_genes)) * 2, 3)
+    ref = np.round(rng.normal(size=(n_ref, n_genes)), 3)
+
+    got_ref = ref_mod._infercnv_chunk(
+        x.copy(), var, ref, clip, window, step, np.inf if thr is None else thr, gene_vals
+    )
+    chr_pos_r, res_r = got_ref[0], np.asarray(got_ref[1].todense())
+    if thr is None:
+        # reference has no "off" switch; np.inf zeroes everything, so compare
+        # pre-gate results by re-running the gate-free parts via threshold=0
+        got_ref = ref_mod._infercnv_chunk(x.copy(), var, ref, clip, window, step, 0.0, gene_vals)
+        chr_pos_r, res_r = got_ref[0], np.asarray(got_ref[1].todense())
+
+    import infercnvpy_tpu as cnv
+
+    adata = cnv.AnnData(
+        X=x.copy(),
+        obs=pd.DataFrame(index=[f"c{i}" for i in range(n_cells)]),
+        var=var.copy(),
+    )
+    chr_pos_m, res_m, genes_m = cnv.tl.infercnv(
+        adata,
+        reference=ref,
+        lfc_clip=clip,
+        window_size=window,
+        step=step,
+        dynamic_threshold=0.0 if thr is None else thr,
+        exclude_chromosomes=None,
+        calculate_gene_values=gene_vals,
+        inplace=False,
+    )
+
+    assert chr_pos_m == chr_pos_r
+    res_m = np.asarray(res_m.todense())
+    npt.assert_allclose(res_m, res_r, rtol=1e-9, atol=1e-12)
+
+    if gene_vals:
+        gm = np.asarray(genes_m, dtype=float)
+        # the reference driver reindexes the per-gene df to the full var_names
+        # with NaN fill (reference: tl/_infercnv.py:141-149)
+        gr = np.asarray(got_ref[2].reindex(columns=var.index, fill_value=np.nan).values, dtype=float)
+        npt.assert_array_equal(np.isnan(gm), np.isnan(gr))
+        mask = ~np.isnan(gm)
+        npt.assert_allclose(gm[mask], gr[mask], rtol=1e-9, atol=1e-12)
+
+
+def test_multichunk_matches_reference(ref_mod):
+    """Chunked runs (chunk-scoped noise std) match the reference chunk-by-chunk
+    vstack (reference: tl/_infercnv.py:120-137,448-453)."""
+    rng = np.random.default_rng(7)
+    var = _make_var(rng, [("chr1", 150), ("chr2", 60)])
+    n_cells, chunksize = 25, 10
+    x = np.round(rng.normal(size=(n_cells, len(var))) * 2, 3)
+    ref = np.round(rng.normal(size=(2, len(var))), 3)
+
+    chunks = [
+        np.asarray(ref_mod._infercnv_chunk(x[i : i + chunksize], var, ref, 3.0, 21, 3, 1.5, False)[1].todense())
+        for i in range(0, n_cells, chunksize)
+    ]
+    res_r = np.vstack(chunks)
+
+    import infercnvpy_tpu as cnv
+
+    adata = cnv.AnnData(
+        X=x.copy(), obs=pd.DataFrame(index=[f"c{i}" for i in range(n_cells)]), var=var.copy()
+    )
+    _, res_m, _ = cnv.tl.infercnv(
+        adata,
+        reference=ref,
+        window_size=21,
+        step=3,
+        chunksize=chunksize,
+        exclude_chromosomes=None,
+        inplace=False,
+    )
+    npt.assert_allclose(np.asarray(res_m.todense()), res_r, rtol=1e-9, atol=1e-12)
+
+
+def test_get_reference_matches_reference(ref_mod):
+    """All three _get_reference modes against the reference's own
+    implementation (reference: tl/_infercnv.py:359-408)."""
+    rng = np.random.default_rng(11)
+    n_cells, n_genes = 12, 30
+    x = rng.normal(size=(n_cells, n_genes))
+    cats = np.array(["tumor", "normal", "other"])[rng.integers(0, 3, n_cells)]
+    obs = pd.DataFrame({"cell_type": pd.Categorical(cats)}, index=[f"c{i}" for i in range(n_cells)])
+
+    class _Shim:
+        pass
+
+    shim = _Shim()
+    shim.X = x
+    shim.obs = obs
+    shim.shape = x.shape
+    shim.raw = None
+    shim.layers = {}
+
+    import infercnvpy_tpu as cnv
+    from infercnvpy_tpu.tl._infercnv import _get_reference as ours
+
+    adata = cnv.AnnData(X=x.copy(), obs=obs.copy(), var=pd.DataFrame(index=[f"g{i}" for i in range(n_genes)]))
+
+    for key, cat in [(None, None), ("cell_type", "normal"), ("cell_type", ["normal", "other"])]:
+        want = ref_mod._get_reference(shim, key, cat, None, None)
+        got = ours(adata, key, cat, None, None)
+        npt.assert_allclose(got, want, rtol=0, atol=0)
+
+    explicit = rng.normal(size=(n_genes,))
+    npt.assert_allclose(
+        ours(adata, None, None, explicit, None),
+        ref_mod._get_reference(shim, None, None, explicit, None),
+    )
+
+
+@pytest.mark.parametrize("sparse_kind", [sp.csr_matrix, sp.csc_matrix])
+def test_sparse_input_matches_reference(ref_mod, sparse_kind):
+    """Sparse expression input follows the same path (reference densifies in
+    the centering step, tl/_infercnv.py:419-434)."""
+    rng = np.random.default_rng(13)
+    var = _make_var(rng, [("chr1", 140), ("chr5", 30)])
+    x = rng.normal(size=(9, len(var)))
+    x[x < 0.5] = 0.0
+    ref = np.abs(rng.normal(size=(1, len(var))))
+
+    res_r = np.asarray(ref_mod._infercnv_chunk(sp.csr_matrix(x), var, ref, 3.0, 31, 7, 1.5, False)[1].todense())
+
+    import infercnvpy_tpu as cnv
+
+    adata = cnv.AnnData(
+        X=sparse_kind(x), obs=pd.DataFrame(index=[f"c{i}" for i in range(9)]), var=var.copy()
+    )
+    _, res_m, _ = cnv.tl.infercnv(
+        adata, reference=ref, window_size=31, step=7, exclude_chromosomes=None, inplace=False
+    )
+    npt.assert_allclose(np.asarray(res_m.todense()), res_r, rtol=1e-9, atol=1e-12)
