@@ -211,6 +211,124 @@ def test_get_reference_matches_reference(ref_mod):
     )
 
 
+def test_full_driver_matches_reference(ref_mod, monkeypatch):
+    """Run the reference's COMPLETE ``infercnv`` driver (tl/_infercnv.py:18-161)
+    against our public ``tl.infercnv`` on the same AnnData: covers the
+    driver-level semantics the chunk tests can't — null-chromosome gene
+    masking, exclude_chromosomes, reference computed on the FULL gene set then
+    column-masked, chunk fan-out + vstack, and the NaN reindex of gene values
+    to the original var_names.  ``process_map`` is patched to a serial map
+    (identical chunk boundaries and ordering; only the fork is elided)."""
+
+    def serial_map(fn, *iterables, **kwargs):
+        return [fn(*a) for a in zip(*iterables)]
+
+    monkeypatch.setattr(ref_mod, "process_map", serial_map)
+
+    rng = np.random.default_rng(23)
+    var = _make_var(rng, [("chr2", 180), ("chr1", 120), ("chrX", 40), ("chr9", 60)])
+    # some genes with no genomic position (masked with a warning, :104-106)
+    var.iloc[10:14, var.columns.get_loc("chromosome")] = None
+    n_cells, n_genes = 33, len(var)
+    x = np.round(rng.normal(size=(n_cells, n_genes)) * 2, 3)
+    cats = np.array(["tumor", "normal"])[rng.integers(0, 2, n_cells)]
+    obs = pd.DataFrame({"cell_type": pd.Categorical(cats)}, index=[f"c{i}" for i in range(n_cells)])
+
+    import infercnvpy_tpu as cnv
+
+    kwargs = dict(
+        reference_key="cell_type",
+        reference_cat="normal",
+        window_size=51,
+        step=7,
+        chunksize=13,
+        calculate_gene_values=True,
+        inplace=False,
+    )
+    adata_r = cnv.AnnData(X=x.copy(), obs=obs.copy(), var=var.copy())
+    chr_pos_r, res_r, genes_r = ref_mod.infercnv(adata_r, n_jobs=1, **kwargs)
+
+    adata_m = cnv.AnnData(X=x.copy(), obs=obs.copy(), var=var.copy())
+    chr_pos_m, res_m, genes_m = cnv.tl.infercnv(adata_m, **kwargs)
+
+    assert chr_pos_m == chr_pos_r
+    npt.assert_allclose(
+        np.asarray(res_m.todense()), np.asarray(res_r.todense()), rtol=1e-9, atol=1e-12
+    )
+    gr = np.asarray(genes_r, dtype=float)
+    gm = np.asarray(genes_m, dtype=float)
+    assert gm.shape == gr.shape == (n_cells, n_genes)
+    npt.assert_array_equal(np.isnan(gm), np.isnan(gr))
+    mask = ~np.isnan(gm)
+    npt.assert_allclose(gm[mask], gr[mask], rtol=1e-9, atol=1e-12)
+
+    # inplace=True slot contract: X_cnv / uns / gene_values layer (:153-158)
+    adata_w = cnv.AnnData(X=x.copy(), obs=obs.copy(), var=var.copy())
+    assert cnv.tl.infercnv(adata_w, **{**kwargs, "inplace": True}) is None
+    npt.assert_allclose(
+        np.asarray(adata_w.obsm["X_cnv"].todense()), np.asarray(res_r.todense()), rtol=1e-9, atol=1e-12
+    )
+    assert adata_w.uns["cnv"]["chr_pos"] == chr_pos_r
+    npt.assert_array_equal(np.isnan(adata_w.layers["gene_values_cnv"]), np.isnan(gr))
+
+
+def test_scores_match_reference():
+    """Execute the reference's tl/_scores.py verbatim (cnv_score / ithcna /
+    ithgex, reference tl/_scores.py:14,77,154) against ours on random data."""
+    import importlib.util
+    import types as _types
+
+    spec = importlib.util.spec_from_file_location("ref_scores", REF_SRC / "tl" / "_scores.py")
+    ref_scores = importlib.util.module_from_spec(spec)
+    if "infercnvpy" not in sys.modules:
+        pkg = _types.ModuleType("infercnvpy")
+        pkg.__path__ = [str(REF_SRC)]
+        sys.modules["infercnvpy"] = pkg
+    if "infercnvpy._util" not in sys.modules:
+        uspec = importlib.util.spec_from_file_location("infercnvpy._util", REF_SRC / "_util.py")
+        umod = importlib.util.module_from_spec(uspec)
+        sys.modules["infercnvpy._util"] = umod
+        uspec.loader.exec_module(umod)
+    if "anndata" not in sys.modules:
+        anndata = _types.ModuleType("anndata")
+
+        class AnnData:
+            pass
+
+        anndata.AnnData = AnnData
+        sys.modules["anndata"] = anndata
+    spec.loader.exec_module(ref_scores)
+
+    import infercnvpy_tpu as cnv
+
+    rng = np.random.default_rng(31)
+    n_cells, n_genes, n_win = 40, 120, 30
+    x = rng.normal(size=(n_cells, n_genes))
+    x_cnv = rng.normal(size=(n_cells, n_win))
+    groups = np.array(["a", "b", "c"])[rng.integers(0, 3, n_cells)]
+    obs = pd.DataFrame(
+        {"cnv_leiden": pd.Categorical(groups)}, index=[f"c{i}" for i in range(n_cells)]
+    )
+
+    def fresh():
+        a = cnv.AnnData(X=x.copy(), obs=obs.copy(), var=pd.DataFrame(index=[f"g{i}" for i in range(n_genes)]))
+        a.obsm["X_cnv"] = sp.csr_matrix(x_cnv)
+        return a
+
+    a_r, a_m = fresh(), fresh()
+    ref_scores.cnv_score(a_r)
+    cnv.tl.cnv_score(a_m)
+    npt.assert_allclose(a_m.obs["cnv_score"].values, a_r.obs["cnv_score"].values, rtol=1e-12)
+
+    ref_scores.ithcna(a_r, groupby="cnv_leiden")
+    cnv.tl.ithcna(a_m, groupby="cnv_leiden")
+    npt.assert_allclose(a_m.obs["ithcna"].values, a_r.obs["ithcna"].values, rtol=1e-6)
+
+    ref_scores.ithgex(a_r, groupby="cnv_leiden")
+    cnv.tl.ithgex(a_m, groupby="cnv_leiden")
+    npt.assert_allclose(a_m.obs["ithgex"].values, a_r.obs["ithgex"].values, rtol=1e-6)
+
+
 @pytest.mark.parametrize("sparse_kind", [sp.csr_matrix, sp.csc_matrix])
 def test_sparse_input_matches_reference(ref_mod, sparse_kind):
     """Sparse expression input follows the same path (reference densifies in
