@@ -46,9 +46,9 @@ def _make_var(n_genes: int, seed: int = 0) -> pd.DataFrame:
 
 
 def main():
+    T_START = time.perf_counter()
     import jax
     import jax.numpy as jnp
-    from functools import partial
 
     from infercnvpy_tpu.genome import build_window_plan
     from infercnvpy_tpu.ops.infercnv_kernel import build_infercnv_fn, packed_width
@@ -72,8 +72,10 @@ def main():
         dtype=jnp.float32,
     )
 
-    @partial(jax.jit, static_argnames=("iters",))
+    @jax.jit
     def bench_loop(seed, iters):
+        # `iters` is a traced scalar: ONE compile covers every iteration count
+        # (each XLA compile costs 20-40 s through the remote-TPU tunnel)
         key = jax.random.PRNGKey(seed)
         kx, kr = jax.random.split(key)
         x = jax.random.normal(kx, (n_cells, width), dtype=jnp.float32)
@@ -95,8 +97,12 @@ def main():
         v = float(bench_loop(0, iters))
         return time.perf_counter() - t0, v
 
-    # compile both variants
+    def note(msg):
+        print(f"[bench +{time.perf_counter() - T_START:.0f}s] {msg}", file=sys.stderr, flush=True)
+
+    # compile (one program — `iters` is traced)
     timed(1)
+    note("default-mode kernel compiled")
     timed(21)
     best = None
     for _ in range(3):
@@ -117,7 +123,7 @@ def main():
         dtype=jnp.float32,
     )
 
-    @partial(jax.jit, static_argnames=("iters",))
+    @jax.jit
     def gene_loop(seed, iters):
         key = jax.random.PRNGKey(seed)
         kx, kr = jax.random.split(key)
@@ -140,8 +146,10 @@ def main():
         return time.perf_counter() - t0
 
     gene_timed(1)
+    note("gene-values kernel compiled")
     gene_timed(9)
     gene_dt = min((gene_timed(9) - gene_timed(1)) / 8.0 for _ in range(2))
+    note("gene-values mode timed")
 
     # --- end-to-end: CSR AnnData-style input -> host pack -> device -> CSR out
     def e2e(n_cells_e2e, density=0.05):
@@ -191,7 +199,10 @@ def main():
             "device_share": float(f"{max(0.0, 1 - t_pack / t_total):.3g}"),
         }
 
-    e2e_results = [e2e(16384), e2e(102400)]
+    e2e_results = [e2e(16384)]
+    note("e2e 16384 done")
+    e2e_results.append(e2e(102400))
+    note("e2e 102400 done")
 
     ops = n_cells * plan.n_windows * window  # useful cell-gene-window MACs
     ops_per_sec = ops / dt

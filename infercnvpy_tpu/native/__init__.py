@@ -17,17 +17,19 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["native_leiden", "native_available"]
+__all__ = ["native_leiden", "native_available", "native_pack_csr", "native_pack_dense", "native_pack_available"]
 
 _SRC_DIR = Path(__file__).parent
 _LIB = None
 _LIB_TRIED = False
+_PACK_LIB = None
+_PACK_TRIED = False
 
 
-def _build_library() -> Path | None:
-    src = _SRC_DIR / "leiden.cpp"
+def _build_library(stem: str, extra_flags: tuple[str, ...] = ()) -> Path | None:
+    src = _SRC_DIR / f"{stem}.cpp"
     tag = hashlib.sha256(src.read_bytes()).hexdigest()[:12]
-    out = _SRC_DIR / f"libleiden-{tag}.so"
+    out = _SRC_DIR / f"lib{stem}-{tag}.so"
     if out.exists():
         return out
     # build in a temp file then atomically rename (concurrent-safe)
@@ -35,7 +37,7 @@ def _build_library() -> Path | None:
         tmp_path = Path(tmp.name)
     try:
         subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", str(src), "-o", str(tmp_path)],
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", *extra_flags, str(src), "-o", str(tmp_path)],
             check=True,
             capture_output=True,
             timeout=300,
@@ -52,7 +54,7 @@ def _load():
     if _LIB_TRIED:
         return _LIB
     _LIB_TRIED = True
-    path = _build_library()
+    path = _build_library("leiden")
     if path is None:
         return None
     try:
@@ -99,3 +101,98 @@ def native_leiden(indptr, indices, weights, resolution: float, seed: int, max_ro
         labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return labels
+
+
+# ---------------------------------------------------------------------------
+# Parallel CSR/dense -> packed-dense densifier (pack.cpp)
+# ---------------------------------------------------------------------------
+
+_I64P = ctypes.POINTER(ctypes.c_int64)
+_I32P = ctypes.POINTER(ctypes.c_int32)
+_F32P = ctypes.POINTER(ctypes.c_float)
+_F64P = ctypes.POINTER(ctypes.c_double)
+
+
+def _load_pack():
+    global _PACK_LIB, _PACK_TRIED
+    if _PACK_TRIED:
+        return _PACK_LIB
+    _PACK_TRIED = True
+    path = _build_library("pack", ("-fopenmp",)) or _build_library("pack")
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(str(path))
+        lib.pack_csr_f32.restype = ctypes.c_int64
+        lib.pack_csr_f32.argtypes = [_I64P, _I32P, _F32P, ctypes.c_int64, _I64P, ctypes.c_int64, _F32P]
+        lib.pack_csr_f64.restype = ctypes.c_int64
+        lib.pack_csr_f64.argtypes = [_I64P, _I32P, _F64P, ctypes.c_int64, _I64P, ctypes.c_int64, _F64P]
+        lib.pack_dense_f32.restype = None
+        lib.pack_dense_f32.argtypes = [_F32P, ctypes.c_int64, ctypes.c_int64, _I64P, ctypes.c_int64, _F32P]
+        lib.pack_dense_f64.restype = None
+        lib.pack_dense_f64.argtypes = [_F64P, ctypes.c_int64, ctypes.c_int64, _I64P, ctypes.c_int64, _F64P]
+        _PACK_LIB = lib
+    except OSError:
+        _PACK_LIB = None
+    return _PACK_LIB
+
+
+def native_pack_available() -> bool:
+    return _load_pack() is not None
+
+
+def native_pack_csr(indptr, indices, data, lut, out_width: int, dtype) -> np.ndarray | None:
+    """Densify CSR straight into the packed layout; None if lib unavailable.
+
+    ``out`` columns not named by ``lut`` stay zero (calloc pages — only the
+    nnz fraction of the output is ever touched on the host).
+    """
+    lib = _load_pack()
+    if lib is None:
+        return None
+    dtype = np.dtype(dtype)
+    if dtype not in (np.float32, np.float64):
+        return None
+    n_rows = len(indptr) - 1
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    data = np.ascontiguousarray(data, dtype=dtype)
+    lut = np.ascontiguousarray(lut, dtype=np.int64)
+    out = np.zeros((n_rows, out_width), dtype=dtype)
+    fn = lib.pack_csr_f32 if dtype == np.float32 else lib.pack_csr_f64
+    fp = _F32P if dtype == np.float32 else _F64P
+    fn(
+        indptr.ctypes.data_as(_I64P),
+        indices.ctypes.data_as(_I32P),
+        data.ctypes.data_as(fp),
+        ctypes.c_int64(n_rows),
+        lut.ctypes.data_as(_I64P),
+        ctypes.c_int64(out_width),
+        out.ctypes.data_as(fp),
+    )
+    return out
+
+
+def native_pack_dense(src, lut, out_width: int, dtype) -> np.ndarray | None:
+    """Column-remap a dense block into the packed layout; None if unavailable."""
+    lib = _load_pack()
+    if lib is None:
+        return None
+    dtype = np.dtype(dtype)
+    if dtype not in (np.float32, np.float64):
+        return None
+    src = np.ascontiguousarray(src, dtype=dtype)
+    lut = np.ascontiguousarray(lut, dtype=np.int64)
+    n_rows, n_cols = src.shape
+    out = np.zeros((n_rows, out_width), dtype=dtype)
+    fn = lib.pack_dense_f32 if dtype == np.float32 else lib.pack_dense_f64
+    fp = _F32P if dtype == np.float32 else _F64P
+    fn(
+        src.ctypes.data_as(fp),
+        ctypes.c_int64(n_rows),
+        ctypes.c_int64(n_cols),
+        lut.ctypes.data_as(_I64P),
+        ctypes.c_int64(out_width),
+        out.ctypes.data_as(fp),
+    )
+    return out

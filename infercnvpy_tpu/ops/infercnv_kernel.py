@@ -67,25 +67,43 @@ def _pack_lut(plan: WindowPlan, n_genes: int) -> np.ndarray:
     return lut
 
 
-def pack_columns(x: np.ndarray, plan: WindowPlan, lut: np.ndarray | None = None) -> np.ndarray:
+def pack_columns(
+    x: np.ndarray, plan: WindowPlan, lut: np.ndarray | None = None, dtype=None
+) -> np.ndarray:
     """Pack a dense (rows × masked_genes) block into the packed layout."""
     if lut is None:
         lut = _pack_lut(plan, x.shape[1])
-    out = np.zeros((x.shape[0], packed_width(plan)), dtype=x.dtype)
+    out_dtype = np.dtype(dtype) if dtype is not None else np.asarray(x).dtype
+    from ..native import native_pack_dense
+
+    res = native_pack_dense(x, lut, packed_width(plan), out_dtype)
+    if res is not None:
+        return res
+    out = np.zeros((x.shape[0], packed_width(plan)), dtype=out_dtype)
     used = lut >= 0
     out[:, lut[used]] = x[:, used]
     return out
 
 
-def pack_csr(x: sp.spmatrix, plan: WindowPlan, lut: np.ndarray | None = None) -> np.ndarray:
-    """Densify a CSR block straight into the packed layout (no intermediate)."""
+def pack_csr(x: sp.spmatrix, plan: WindowPlan, lut: np.ndarray | None = None, dtype=None) -> np.ndarray:
+    """Densify a CSR block straight into the packed layout (no intermediate).
+
+    Runs in native C++ when available (one OpenMP-parallel pass over the nnz,
+    ~13× the numpy scatter — see native/pack.cpp); numpy fallback otherwise.
+    """
     x = x.tocsr()
     if lut is None:
         lut = _pack_lut(plan, x.shape[1])
+    out_dtype = np.dtype(dtype) if dtype is not None else np.result_type(x.dtype, np.float32)
+    from ..native import native_pack_csr
+
+    res = native_pack_csr(x.indptr, x.indices, x.data, lut, packed_width(plan), out_dtype)
+    if res is not None:
+        return res
     new_cols = lut[x.indices]
     keep = new_cols >= 0
     rows = np.repeat(np.arange(x.shape[0]), np.diff(x.indptr))[keep]
-    out = np.zeros((x.shape[0], packed_width(plan)), dtype=np.result_type(x.dtype, np.float32))
+    out = np.zeros((x.shape[0], packed_width(plan)), dtype=out_dtype)
     out[rows, new_cols[keep]] = x.data[keep]
     return out
 

@@ -226,13 +226,24 @@ def _infercnv_compute(
     res_parts = []
     gene_parts = [] if calculate_gene_values else None
 
+    def _materialize(pending):
+        x_res, gene_res, rows = pending
+        res_parts.append(sp.csr_matrix(np.asarray(x_res)[:rows]))
+        if calculate_gene_values:
+            gene_parts.append(np.asarray(gene_res)[:rows])
+
+    # software pipeline: while the device computes batch k, the host packs
+    # batch k+1 and drains batch k-1 (async device->host copy) — packing,
+    # transfers, and compute all overlap (the TPU analogue of the reference's
+    # worker pool keeping all cores busy, reference: tl/_infercnv.py:120-137)
+    pending = None
     for start in range(0, n_cells, batch_cells):
         stop = min(start + batch_cells, n_cells)
         raw = expr[start:stop]
         if sp.issparse(raw):
-            block = pack_csr(raw, plan, lut).astype(cdtype, copy=False)
+            block = pack_csr(raw, plan, lut, dtype=cdtype)
         else:
-            block = pack_columns(_ensure_array(np.asarray(raw)).astype(cdtype, copy=False), plan, lut)
+            block = pack_columns(_ensure_array(np.asarray(raw)), plan, lut, dtype=cdtype)
         rows = stop - start
         pad = batch_cells - rows if (n_cells > batch_cells) else 0
         # the cell axis must split evenly over the mesh
@@ -246,11 +257,14 @@ def _infercnv_compute(
         if use_mesh:
             block = jax.device_put(block, data_sh)
             chunk_ids = jax.device_put(chunk_ids, data_sh)
-        x_res, gene_res = fn(block, ref_dev, chunk_ids)
-        x_res = np.asarray(x_res)[:rows]
-        res_parts.append(sp.csr_matrix(x_res))
-        if calculate_gene_values:
-            gene_parts.append(np.asarray(gene_res)[:rows])
+        x_res, gene_res = fn(block, ref_dev, chunk_ids)  # async dispatch
+        for arr in (x_res, gene_res):
+            if arr is not None and hasattr(arr, "copy_to_host_async"):
+                arr.copy_to_host_async()
+        if pending is not None:
+            _materialize(pending)
+        pending = (x_res, gene_res, rows)
+    _materialize(pending)
 
     res = sp.vstack(res_parts) if len(res_parts) > 1 else res_parts[0]
     per_gene = None
