@@ -255,14 +255,15 @@ def build_infercnv_fn(
       gate std (reference chunk semantics).  Ids must lie in ``[0, num_chunks]``
       — id == num_chunks marks padding rows, which receive a threshold from an
       unused segment and must be discarded by the caller.
-    * ``gene_res``   — (cells, n_used_genes) or None; NaN for uncovered genes,
-      columns in ``plan.used_genes`` order.
+    * ``gene_res``   — (cells, n_covered_genes) or None; columns in coverage-
+      group-sorted order — column ``c`` is used-gene
+      ``gene_projection_data(plan).covered_sorted[c]`` (uncovered genes are
+      omitted; the caller NaN-fills them during the var reindex, matching
+      reference tl/_infercnv.py:141-149).
     * ``axis_name``  — set when the fn runs inside ``shard_map`` over a cell-
       sharded mesh axis: the per-chunk noise statistics are psum-ed across
       shards so chunk semantics stay GLOBAL (chunks may cross shards).
     """
-    covered_idx = np.flatnonzero(plan.gene_win_lo >= 0)
-
     # fused Pallas path: center+clip+conv+median+stats in one HBM pass.
     # Default on accelerators in f32 (mode "fast"); force with mode "fused"
     # (runs interpreted on CPU — used by tests).  Gene values come from an
@@ -289,6 +290,10 @@ def build_infercnv_fn(
     # exact per-row median: Pallas radix-select kernel on accelerators
     # (13x faster than the XLA sort), XLA median on CPU / in float64
     use_pallas_median = jax.default_backend() != "cpu" and jnp.dtype(dtype) == jnp.float32
+    if calculate_gene_values:
+        from .pallas_gene import gene_projection_data
+
+        covered_sorted = gene_projection_data(plan).covered_sorted
 
     def _row_median(a):
         if use_pallas_median:
@@ -309,8 +314,8 @@ def build_infercnv_fn(
 
         gene_res = None
         if calculate_gene_values:
-            gvals = _gene_values(smoothed, plan, dtype)
-            gmed = _row_median(gvals[:, jnp.asarray(covered_idx)])
+            gvals = _gene_values(smoothed, plan, dtype)[:, jnp.asarray(covered_sorted)]
+            gmed = _row_median(gvals)
             gene_res = gvals - gmed[:, None]
 
         if dynamic_threshold is not None:
@@ -350,28 +355,16 @@ def _build_fused_fn(
 ):
     """Assemble the fused-kernel pipeline (see ops.pallas_fused)."""
     from .pallas_fused import fused_center_smooth_median
-    from .pallas_select import row_median_weighted
+    from .pallas_gene import gene_project, gene_projection_data
 
     n_win = plan.n_windows
-
-    if calculate_gene_values:
-        # Genes sharing a (first, last) covering-window range have IDENTICAL
-        # values, so the per-gene matrix collapses to ~2·n_windows unique
-        # coverage groups: the gene median becomes a *weighted* median over
-        # the group values (group size = multiplicity), and the final
-        # (cells × genes) matrix is a single column gather of the gated group
-        # values.  This removes the O(cells × genes) median scan that
-        # round 2's bench OOM-ed on (the reference instead loops a python
-        # dict per window, reference: tl/_infercnv.py:247-291).
-        lo_np, hi_np = plan.gene_win_lo, plan.gene_win_hi
-        covered_np = lo_np >= 0
-        enc = lo_np.astype(np.int64) * (n_win + 1) + hi_np
-        uniq, inv = np.unique(enc[covered_np], return_inverse=True)
-        g_counts = np.bincount(inv, minlength=len(uniq)).astype(np.int32)
-        g_lo = (uniq // (n_win + 1)).astype(np.int32)
-        g_hi = (uniq % (n_win + 1)).astype(np.int32)
-        g_of_gene = np.zeros(len(lo_np), np.int32)
-        g_of_gene[covered_np] = inv
+    # Genes sharing a (first, last) covering-window range have IDENTICAL
+    # values, so the per-gene matrix collapses to ~n_windows coverage
+    # groups; the whole back-projection (group means, exact weighted gene
+    # median, gate, expansion) runs in one Pallas kernel — see
+    # ops/pallas_gene.py.  (The reference loops a python dict per window,
+    # reference: tl/_infercnv.py:247-291.)
+    gpd = gene_projection_data(plan) if calculate_gene_values else None
 
     @jax.jit
     def fn(x, ref, chunk_ids):
@@ -391,20 +384,7 @@ def _build_fused_fn(
         )
         x_res = xr_all[:n]
 
-        u_res = None
-        if calculate_gene_values:
-            # window prefix-means are linear, so computing them on the
-            # median-centered windows shifts both the gene values AND their
-            # median by the same per-cell constant — the difference is
-            # identical to the reference's pre-median formulation
-            prefix = jnp.concatenate(
-                [jnp.zeros((x_res.shape[0], 1), jnp.float32), jnp.cumsum(x_res, axis=1)], axis=1
-            )
-            u_cnt = jnp.asarray((g_hi - g_lo + 1).astype(np.float32))[None, :]
-            uvals = (prefix[:, jnp.asarray(g_hi + 1)] - prefix[:, jnp.asarray(g_lo)]) / u_cnt
-            gmed = row_median_weighted(uvals, g_counts)
-            u_res = uvals - gmed[:, None]
-
+        row_thr = None
         if dynamic_threshold is not None:
             cid = chunk_ids
             seg_sum = jax.ops.segment_sum(rs[:n], cid, num_segments=num_chunks + 1)
@@ -419,16 +399,20 @@ def _build_fused_fn(
             var = jnp.maximum(seg_sq / seg_n - mean * mean, 0)
             thr = dynamic_threshold * jnp.sqrt(var)
             row_thr = thr[cid][:, None]
-            x_res = jnp.where(jnp.abs(x_res) < row_thr, jnp.zeros_like(x_res), x_res)
-            if u_res is not None:
-                u_res = jnp.where(jnp.abs(u_res) < row_thr, jnp.zeros_like(u_res), u_res)
 
         gene_res = None
-        if u_res is not None:
-            # one gather + one write materializes the (cells × genes) output
-            gene_res = jnp.where(
-                jnp.asarray(covered_np)[None, :], u_res[:, jnp.asarray(g_of_gene)], jnp.float32(jnp.nan)
-            )
+        if calculate_gene_values:
+            # window prefix-means are linear, so computing them on the
+            # median-centered windows shifts both the gene values AND their
+            # median by the same per-cell constant — the difference is
+            # identical to the reference's pre-median formulation
+            thr8 = jnp.zeros((xr_all.shape[0], 8), jnp.float32)
+            if row_thr is not None:
+                thr8 = thr8.at[:n, 0:1].set(row_thr)
+            gene_res = gene_project(xr_all, thr8, gpd, gate=row_thr is not None, row_tile=row_tile)[:n]
+
+        if row_thr is not None:
+            x_res = jnp.where(jnp.abs(x_res) < row_thr, jnp.zeros_like(x_res), x_res)
 
         return x_res, gene_res
 

@@ -56,7 +56,7 @@ def _select_kth(keys, k: int):
     return _select_kth_multi([keys], k)
 
 
-def _select_kth_multi(blocks, k: int, bounds=None):
+def _select_kth_multi(blocks, k: int, bounds=None, n_valid: int | None = None, weights=None):
     """Rank-k selection over the row-wise union of several key blocks.
 
     Counting over separate blocks avoids materializing their concatenation
@@ -65,12 +65,30 @@ def _select_kth_multi(blocks, k: int, bounds=None):
     The binary search is seeded with per-row [min, max] bounds (``bounds``
     overrides, for masked blocks) and runs as a while_loop: real data spans
     a fraction of the 32-bit key space, so convergence takes ~16-22
-    iterations instead of a fixed 32."""
+    iterations instead of a fixed 32.  (A Floyd-Rivest-style interpolated
+    probe was tried and measured SLOWER here: the float-bit key scale is
+    sign-log, so counts interpolate badly for near-zero-centered data —
+    probes land far from the target rank and the alternating safeguard
+    doubles the pass count.  See docs/roofline.md.)
+
+    ``weights`` (optional, one (1, W) int32 per block) turns counts into
+    weighted ranks — used for the grouped gene median (``n_valid`` is
+    accepted for API symmetry and unused by the bisection).
+    """
+    del n_valid
     if bounds is not None:
         lo0, hi0 = bounds
     else:
         lo0 = jnp.min(jnp.stack([jnp.min(b, axis=1) for b in blocks]), axis=0)[:, None]
         hi0 = jnp.max(jnp.stack([jnp.max(b, axis=1) for b in blocks]), axis=0)[:, None]
+
+    def count_le(m):
+        if weights is None:
+            return sum(jnp.sum((b <= m).astype(jnp.int32), axis=1, keepdims=True) for b in blocks)
+        return sum(
+            jnp.sum(jnp.where(b <= m, w, jnp.int32(0)), axis=1, keepdims=True)
+            for b, w in zip(blocks, weights)
+        )
 
     def cond(state):
         lo, hi = state
@@ -79,7 +97,7 @@ def _select_kth_multi(blocks, k: int, bounds=None):
     def body(state):
         lo, hi = state
         mid = (lo & hi) + ((lo ^ hi) >> 1)  # overflow-safe signed midpoint
-        cnt = sum(jnp.sum((b <= mid).astype(jnp.int32), axis=1, keepdims=True) for b in blocks)
+        cnt = count_le(mid).astype(jnp.int32)
         go_low = cnt >= (k + 1)
         return jnp.where(go_low, lo, mid + 1), jnp.where(go_low, mid, hi)
 
@@ -323,7 +341,7 @@ def _make_kernel(plan: WindowPlan, lfc_clip: float, n_ref: int, debug_skip: tupl
                         his.append(jnp.max(b, axis=1))
                 hi0 = jnp.max(jnp.stack(his), axis=0)[:, None]
                 bounds = (lo0, hi0)
-            kh = _select_kth_multi(blocks, k_hi, bounds)
+            kh = _select_kth_multi(blocks, k_hi, bounds, n_valid=n_windows)
             v_hi = _key_to_float(kh)
             if odd:
                 med = v_hi

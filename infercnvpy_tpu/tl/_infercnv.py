@@ -270,9 +270,14 @@ def _infercnv_compute(
     per_gene = None
     if calculate_gene_values:
         used = np.concatenate(gene_parts, axis=0) if len(gene_parts) > 1 else gene_parts[0]
-        # used-gene columns are in plan order; rebuild a (cells, masked_genes) matrix
+        # device gene columns are in coverage-group-sorted order; scatter them
+        # back to the masked var axis (uncovered genes stay NaN, matching the
+        # reference's reindex, reference: tl/_infercnv.py:141-149)
+        from ..ops.pallas_gene import gene_projection_data
+
+        covered_sorted = gene_projection_data(plan).covered_sorted
         per_gene = np.full((n_cells, var.shape[0]), np.nan, dtype=used.dtype)
-        per_gene[:, plan.used_genes] = used
+        per_gene[:, plan.used_genes[covered_sorted]] = used
     return plan.chr_pos, res, per_gene
 
 
