@@ -158,6 +158,12 @@ def native_pack_csr(indptr, indices, data, lut, out_width: int, dtype) -> np.nda
     indices = np.ascontiguousarray(indices, dtype=np.int32)
     data = np.ascontiguousarray(data, dtype=dtype)
     lut = np.ascontiguousarray(lut, dtype=np.int64)
+    # the C scatter is unchecked — enforce the bounds the numpy fallback
+    # would enforce via IndexError, instead of corrupting the heap
+    if len(indices) and int(indices.max()) >= len(lut):
+        raise IndexError(f"pack_csr: column index {int(indices.max())} out of range for lut of length {len(lut)}")
+    if lut.max(initial=-1) >= out_width:
+        raise IndexError(f"pack_csr: lut maps to column {int(lut.max())} >= out_width {out_width}")
     out = np.zeros((n_rows, out_width), dtype=dtype)
     fn = lib.pack_csr_f32 if dtype == np.float32 else lib.pack_csr_f64
     fp = _F32P if dtype == np.float32 else _F64P
@@ -184,6 +190,10 @@ def native_pack_dense(src, lut, out_width: int, dtype) -> np.ndarray | None:
     src = np.ascontiguousarray(src, dtype=dtype)
     lut = np.ascontiguousarray(lut, dtype=np.int64)
     n_rows, n_cols = src.shape
+    if len(lut) < n_cols:
+        raise IndexError(f"pack_dense: lut of length {len(lut)} shorter than {n_cols} input columns")
+    if lut.max(initial=-1) >= out_width:
+        raise IndexError(f"pack_dense: lut maps to column {int(lut.max())} >= out_width {out_width}")
     out = np.zeros((n_rows, out_width), dtype=dtype)
     fn = lib.pack_dense_f32 if dtype == np.float32 else lib.pack_dense_f64
     fp = _F32P if dtype == np.float32 else _F64P

@@ -61,6 +61,10 @@ class GeneProjectionData:
     total: int  #: number of covered genes (weighted rank count)
 
 
+#: id(plan) -> (plan, gpd).  The plan object itself is stored in the value so
+#: it stays alive for the lifetime of the cache entry — otherwise a
+#: garbage-collected plan could hand its id to a NEW plan, which would then
+#: silently receive the old plan's projection data.
 _gpd_cache: dict = {}
 
 
@@ -68,7 +72,8 @@ def gene_projection_data(plan: WindowPlan) -> GeneProjectionData:
     key = id(plan)
     hit = _gpd_cache.get(key)
     if hit is not None:
-        return hit
+        assert hit[0] is plan
+        return hit[1]
     n_win = plan.n_windows
     lo_np, hi_np = plan.gene_win_lo, plan.gene_win_hi
     covered = np.flatnonzero(lo_np >= 0)
@@ -84,7 +89,7 @@ def gene_projection_data(plan: WindowPlan) -> GeneProjectionData:
         covered_sorted=covered[order].astype(np.int64),
         total=int(len(covered)),
     )
-    _gpd_cache[key] = gpd
+    _gpd_cache[key] = (plan, gpd)
     return gpd
 
 
@@ -119,7 +124,9 @@ def _bgather(src, idx_abs, base: int, nblk: int):
     return out
 
 
-def _make_gene_kernel(gpd: GeneProjectionData, *, gate: bool, wp: int, gp: int, cp: int, interpret: bool):
+def _make_gene_kernel(
+    gpd: GeneProjectionData, *, gate: bool, wp: int, gp: int, cp: int, interpret: bool, force_roll: bool = False
+):
     n_win = gpd.n_windows
     total = gpd.total
     k_hi = total // 2
@@ -133,8 +140,10 @@ def _make_gene_kernel(gpd: GeneProjectionData, *, gate: bool, wp: int, gp: int, 
 
     def kernel(x_ref, thr_ref, ghi_ref, glo_ref, wts_ref, gix_ref, out_ref):
         x = x_ref[:]
-        # prefix sum along lanes: log-shift rolls (Mosaic has no cumsum)
-        if interpret:
+        # prefix sum along lanes: log-shift rolls (Mosaic has no cumsum).
+        # Interpret mode substitutes jnp.cumsum for speed; force_roll runs the
+        # exact roll formulation shipped to hardware (roll-parity tests).
+        if interpret and not force_roll:
             c = jnp.cumsum(x, axis=1)
         else:
             col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
@@ -201,17 +210,19 @@ class _GpdKey:
         return isinstance(other, _GpdKey) and other.gpd is self.gpd
 
 
-@partial(jax.jit, static_argnames=("gpd_key", "gate", "row_tile"))
-def _gene_project_impl(x_res, thr8, gpd_key, gate, row_tile):
+@partial(jax.jit, static_argnames=("gpd_key", "gate", "row_tile", "force_roll"))
+def _gene_project_impl(x_res, thr8, gpd_key, gate, row_tile, force_roll=False):
     gpd = gpd_key.gpd
     n, w = x_res.shape
+    if n % row_tile != 0:
+        raise ValueError(f"gene_project: cell count {n} must be a multiple of row_tile={row_tile} (pad the input)")
     wp = -(-w // _LANE) * _LANE
     gp = -(-len(gpd.g_lo) // _LANE) * _LANE
     cp = -(-gpd.total // _LANE) * _LANE
     interpret = jax.default_backend() == "cpu"
     if wp != w:
         x_res = jnp.pad(x_res, ((0, 0), (0, wp - w)))
-    kernel = _make_gene_kernel(gpd, gate=gate, wp=wp, gp=gp, cp=cp, interpret=interpret)
+    kernel = _make_gene_kernel(gpd, gate=gate, wp=wp, gp=gp, cp=cp, interpret=interpret, force_roll=force_roll)
     ghi = jnp.asarray(_pad_to(gpd.g_hi, gp, gpd.g_hi[-1]).reshape(1, -1))
     glo = jnp.asarray(_pad_to(gpd.g_lo, gp, gpd.g_lo[-1]).reshape(1, -1))
     wts = jnp.asarray(_pad_to(gpd.g_counts, gp, np.int32(0)).reshape(1, -1))
@@ -234,7 +245,7 @@ def _gene_project_impl(x_res, thr8, gpd_key, gate, row_tile):
     )(x_res, thr8, ghi, glo, wts, gix)
 
 
-def gene_project(x_res, thr8, gpd: GeneProjectionData, *, gate: bool, row_tile: int = 256):
+def gene_project(x_res, thr8, gpd: GeneProjectionData, *, gate: bool, row_tile: int = 256, force_roll: bool = False):
     """Per-gene back-projection of the median-centered window matrix.
 
     x_res — (cells, n_windows) f32, PRE-noise-gate, cells a multiple of
@@ -243,5 +254,5 @@ def gene_project(x_res, thr8, gpd: GeneProjectionData, *, gate: bool, row_tile: 
     matrix in group-sorted column order (``gpd.covered_sorted``), already
     median-subtracted and gated.
     """
-    out = _gene_project_impl(x_res, thr8, _GpdKey(gpd), bool(gate), int(row_tile))
+    out = _gene_project_impl(x_res, thr8, _GpdKey(gpd), bool(gate), int(row_tile), bool(force_roll))
     return out[:, : gpd.total]

@@ -16,7 +16,7 @@ def _save_or_show(fig, name: str, show: bool | None, save):
     if save:
         settings.figdir.mkdir(parents=True, exist_ok=True)
         suffix = save if isinstance(save, str) else ".png"
-        fname = f"{name}{suffix}" if not str(suffix).startswith(".") or isinstance(save, str) else f"{name}{suffix}"
+        fname = f"{name}{suffix}"
         fig.savefig(settings.figdir / fname, dpi=150, bbox_inches="tight")
     show = settings.autoshow if show is None else show
     if show:

@@ -88,24 +88,41 @@ def copykat(
     return _store_copykat(adata, cna, pred, key_added, inplace)  # pragma: no cover - needs R
 
 
-def _to_r_matrix_df(expr: np.ndarray, adata):  # pragma: no cover - needs R
+def _to_r_matrix_df(expr: np.ndarray, adata):
+    """Genes × cells DataFrame for R marshaling (R wants the transposed matrix)."""
     import pandas as pd
 
     return pd.DataFrame(np.asarray(expr).T, index=adata.var_names, columns=adata.obs_names)
 
 
-def _store_copykat(adata, cna, pred, key_added, inplace):  # pragma: no cover - needs R
-    chrom = cna["chrom"].astype(int).values
-    chr_pos = {}
-    for i, c in enumerate(chrom):
-        name = f"chr{c}"
-        if name not in chr_pos:
-            chr_pos[name] = i
-    mtx = cna.drop(columns=[c for c in ("chrom", "chrompos", "abspos") if c in cna.columns]).T
-    mtx = mtx.reindex([str(x).replace("-", ".") for x in adata.obs_names]).values
+def _store_copykat(adata, cna, pred, key_added, inplace):
+    """Write copyKAT outputs into the AnnData slots.
+
+    Storage contract matches the reference (reference: tl/_copykat.py:158-177):
+    ``uns[key_added]["chr_pos"]`` maps each chromosome to its first row in the
+    CNA matrix, ``obsm[f"X_{key_added}"]`` holds the cells × windows matrix
+    aligned to ``obs_names``, and the tumor/normal call lands in
+    ``adata.obs[key_added]`` (NaN for cells copyKAT dropped).  With
+    ``inplace=False`` returns ``(matrix, prediction_series)``.
+
+    ``cna``  — windows × (chrom, chrompos, abspos, one column per kept cell)
+    ``pred`` — indexed by cell name (or holding a ``cell.names`` column) with
+               a ``copykat.pred`` column
+    """
+    chr_pos: dict[str, int] = {}
+    for i, c in enumerate(cna["chrom"].astype(int).values):
+        chr_pos.setdefault(f"chr{c}", i)
+
+    mtx = cna.drop(["chrom", "chrompos", "abspos"], axis=1)
+    mtx = mtx.loc[:, adata.obs.index].T.values
+
+    if "cell.names" in pred.columns:
+        pred = pred.set_index("cell.names")
+    pred_series = adata.obs.merge(pred, left_index=True, right_index=True, how="left")["copykat.pred"]
+
     if inplace:
-        adata.obsm[f"X_{key_added}"] = mtx
         adata.uns[key_added] = {"chr_pos": chr_pos}
-        adata.obs["cnv_status"] = pred.set_index("cell.names").reindex(adata.obs_names)["copykat.pred"].values
+        adata.obsm[f"X_{key_added}"] = mtx
+        adata.obs[key_added] = pred_series
         return None
-    return chr_pos, mtx
+    return mtx, pred_series

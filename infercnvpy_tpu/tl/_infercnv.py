@@ -68,6 +68,8 @@ def infercnv(
         placement, or ``False`` to force single-device execution.
     """
     del n_jobs
+    if adata.shape[0] == 0:
+        raise ValueError("adata contains no cells — nothing to infer CNV from.")
     if not adata.var_names.is_unique:
         raise ValueError("Ensure your var_names are unique!")
     if {"chromosome", "start", "end"} - set(adata.var.columns) != set():
@@ -167,6 +169,8 @@ def _infercnv_compute(
     import jax
 
     n_cells, n_genes = expr.shape
+    if n_cells == 0:
+        raise ValueError("adata contains no cells — nothing to infer CNV from.")
     plan = build_window_plan(var, window_size, step)
     if plan.n_windows == 0:
         raise ValueError("No usable chromosomes found (need `chr*` prefixed chromosome annotations).")

@@ -67,6 +67,32 @@ def test_native_pack_dense_matches_numpy(dtype):
     np.testing.assert_array_equal(got, out)
 
 
+@pytest.mark.skipif(not native_pack_available(), reason="native pack lib unavailable")
+def test_native_pack_rejects_out_of_bounds():
+    """The C scatter is unchecked — the wrappers must validate lut bounds
+    instead of corrupting the heap (ADVICE r3)."""
+    plan = _plan(seed=9)
+    w = packed_width(plan)
+    lut = _pack_lut(plan, 500)
+    x = sp.random(8, 500, density=0.1, format="csr", dtype=np.float32, random_state=10)
+    # column index beyond the lut
+    bad = x.copy()
+    bad.indices = bad.indices.copy()
+    if len(bad.indices):
+        bad.indices[0] = 600
+    with pytest.raises(IndexError, match="out of range"):
+        native_pack_csr(bad.indptr, bad.indices, bad.data, lut, w, np.float32)
+    # lut pointing past the output width
+    bad_lut = lut.copy()
+    bad_lut[0] = w + 5
+    with pytest.raises(IndexError, match="out_width"):
+        native_pack_csr(x.indptr, x.indices, x.data, bad_lut, w, np.float32)
+    with pytest.raises(IndexError, match="out_width"):
+        native_pack_dense(np.zeros((4, 500), np.float32), bad_lut, w, np.float32)
+    with pytest.raises(IndexError, match="shorter"):
+        native_pack_dense(np.zeros((4, 500), np.float32), lut[:100], w, np.float32)
+
+
 @pytest.mark.parametrize("fmt", ["csr", "csc"])
 def test_pack_csr_wrapper_dtype(fmt):
     # public wrapper honours the dtype arg on both native and fallback paths

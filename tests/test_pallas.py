@@ -101,6 +101,72 @@ def test_fused_pipeline_matches_unfused():
         npt.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 
+def test_gene_project_roll_prefix_sum_parity():
+    """The exact log-shift pltpu.roll prefix sum shipped to TPU hardware must
+    match the interpret-mode cumsum substitute bit-for-bit (ADVICE r3: the
+    hardware formulation was never exercised by the CPU suite)."""
+    import pandas as pd
+
+    from infercnvpy_tpu.genome import build_window_plan
+    from infercnvpy_tpu.ops.pallas_gene import gene_project, gene_projection_data
+
+    rng = np.random.default_rng(7)
+    rows = [(f"chr{c + 1}", i * 100) for c, g in enumerate([150, 40, 7, 90]) for i in range(g)]
+    var = pd.DataFrame(rows, columns=["chromosome", "start"])
+    var["end"] = var["start"] + 1
+    plan = build_window_plan(var, 100, 10)
+    gpd = gene_projection_data(plan)
+    x_res = rng.normal(size=(8, plan.n_windows)).astype(np.float32)
+    thr8 = np.zeros((8, 8), np.float32)
+    thr8[:, 0] = 0.05
+    a = np.asarray(gene_project(x_res, thr8, gpd, gate=True, row_tile=8))
+    b = np.asarray(gene_project(x_res, thr8, gpd, gate=True, row_tile=8, force_roll=True))
+    # the log-shift tree sum and sequential cumsum accumulate in different
+    # orders, so bit-equality is not expected — only f32 round-off
+    npt.assert_allclose(a, b, rtol=0, atol=2e-6)
+    # ungated: every element must agree to round-off as well (no threshold
+    # flips hiding behind zeros)
+    a2 = np.asarray(gene_project(x_res, thr8, gpd, gate=False, row_tile=8))
+    b2 = np.asarray(gene_project(x_res, thr8, gpd, gate=False, row_tile=8, force_roll=True))
+    npt.assert_allclose(a2, b2, rtol=0, atol=2e-6)
+
+
+def test_gene_project_rejects_ragged_rows():
+    """A cell count that is not a multiple of row_tile must fail loudly
+    (the grid would silently drop the remainder rows)."""
+    import pandas as pd
+
+    from infercnvpy_tpu.genome import build_window_plan
+    from infercnvpy_tpu.ops.pallas_gene import gene_project, gene_projection_data
+
+    rows = [(f"chr{c + 1}", i * 100) for c, g in enumerate([150, 40]) for i in range(g)]
+    var = pd.DataFrame(rows, columns=["chromosome", "start"])
+    var["end"] = var["start"] + 1
+    plan = build_window_plan(var, 10, 2)
+    gpd = gene_projection_data(plan)
+    x_res = np.zeros((7, plan.n_windows), np.float32)
+    with pytest.raises(ValueError, match="multiple of row_tile"):
+        gene_project(x_res, np.zeros((7, 8), np.float32), gpd, gate=False, row_tile=8)
+
+
+def test_gene_projection_cache_pins_plan():
+    """The gpd cache must key on the live plan object — a recycled id() must
+    never serve stale projection data (ADVICE r3 medium)."""
+    import pandas as pd
+
+    from infercnvpy_tpu.genome import build_window_plan
+    from infercnvpy_tpu.ops.pallas_gene import _gpd_cache, gene_projection_data
+
+    rows = [(f"chr{c + 1}", i * 100) for c, g in enumerate([30, 20]) for i in range(g)]
+    var = pd.DataFrame(rows, columns=["chromosome", "start"])
+    var["end"] = var["start"] + 1
+    plan = build_window_plan(var, 10, 2)
+    gpd1 = gene_projection_data(plan)
+    assert gene_projection_data(plan) is gpd1
+    cached_plan, cached_gpd = _gpd_cache[id(plan)]
+    assert cached_plan is plan and cached_gpd is gpd1
+
+
 def test_fused_gene_values_matches_unfused():
     """Fused path's gene-values epilogue (median-cancellation identity) ==
     unfused path's pre-median formulation."""

@@ -151,6 +151,13 @@ def test_infercnv_requires_genomic_position(adata_mock):
         cnv.tl.infercnv(adata_mock)
 
 
+def test_infercnv_empty_adata_raises(adata_oligodendroma):
+    """Zero cells must raise a clear error, not a cryptic unpack failure (ADVICE r3)."""
+    empty = adata_oligodendroma[:0].copy()
+    with pytest.raises(ValueError, match="no cells"):
+        cnv.tl.infercnv(empty)
+
+
 def test_workflow(adata_oligodendroma):
     cnv.tl.infercnv(adata_oligodendroma)
     cnv.tl.pca(adata_oligodendroma)
