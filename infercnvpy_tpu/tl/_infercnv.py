@@ -47,6 +47,7 @@ def infercnv(
     batch_cells: int | None = None,
     dtype=None,
     mesh=None,
+    device_densify: bool | None = None,
 ):
     """Infer Copy Number Variation (CNV) by averaging gene expression over genomic regions.
 
@@ -66,6 +67,12 @@ def infercnv(
         (chunk noise statistics are psum-ed, so results are independent of
         the device count).  Pass a 1-D ``jax.sharding.Mesh`` to control
         placement, or ``False`` to force single-device execution.
+    device_densify
+        For sparse input on a single device, ship the CSR arrays and densify
+        on the accelerator (5–20× fewer host→device bytes at single-cell
+        densities) instead of packing a dense block on the host.  ``None``
+        (default) enables it automatically in that situation; ``False``
+        forces the host packer.  Does not affect numerics.
     """
     del n_jobs
     if adata.shape[0] == 0:
@@ -105,6 +112,7 @@ def infercnv(
         batch_cells=batch_cells,
         dtype=dtype,
         mesh=mesh,
+        device_densify=device_densify,
     )
 
     if calculate_gene_values:
@@ -164,8 +172,19 @@ def _infercnv_compute(
     batch_cells: int | None,
     dtype,
     mesh=None,
+    device_densify: bool | None = None,
+    stats: dict | None = None,
 ):
-    """Run the full pipeline; returns (chr_pos, csr result, used-gene matrix or None)."""
+    """Run the full pipeline; returns (chr_pos, csr result, used-gene matrix or None).
+
+    ``stats`` (optional) — a dict that receives a per-stage timing breakdown:
+    ``host_pack_sec``, ``h2d_sec``, ``h2d_bytes``, ``compute_sec``,
+    ``d2h_sec``, ``csr_sec``, ``compile_sec``, ``mode``.  Collecting it
+    serializes the software pipeline (each stage blocks), so totals with
+    stats enabled are an upper bound on the pipelined wall time.
+    """
+    import time as _time
+
     import jax
 
     n_cells, n_genes = expr.shape
@@ -191,6 +210,12 @@ def _infercnv_compute(
     # reference: tl/_infercnv.py:120-135)
     use_mesh = mesh is not False and (mesh is not None or len(jax.devices()) > 1)
     n_dev = 1
+    # device-side densification: sparse single-device input ships the CSR
+    # arrays and packs on the accelerator (replaces the reference's host
+    # densify, reference: tl/_infercnv.py:115-137)
+    use_sparse = device_densify is not False and sp.issparse(expr) and not use_mesh
+    if device_densify and use_mesh:
+        warn("device_densify is not supported with a multi-device mesh; using the host packer")
     if use_mesh:
         from ..parallel.mesh import cell_mesh, replicate, shard_cells
         from ..parallel.sharded import sharded_infercnv_fn
@@ -208,7 +233,7 @@ def _infercnv_compute(
             dtype=cdtype,
         )
         data_sh, repl_sh = shard_cells(the_mesh), replicate(the_mesh)
-    else:
+    elif not use_sparse:
         fn = build_infercnv_fn(
             plan,
             n_ref_rows=reference.shape[0],
@@ -219,49 +244,141 @@ def _infercnv_compute(
             dtype=cdtype,
         )
     _LAST_RUN_INFO.clear()
-    _LAST_RUN_INFO.update({"n_devices": n_dev, "sharded": use_mesh})
+    _LAST_RUN_INFO.update({"n_devices": n_dev, "sharded": use_mesh, "device_densify": use_sparse})
 
     # host-side packing: genes land in the plan's packed layout during
     # densification, so the device never pays for the permutation gather
     lut = _pack_lut(plan, n_genes)
+    width = packed_width(plan)
     ref_dev = pack_columns(np.asarray(reference, dtype=cdtype), plan, lut)
     if use_mesh:
         ref_dev = jax.device_put(ref_dev, repl_sh)
     res_parts = []
     gene_parts = [] if calculate_gene_values else None
 
+    timing = stats is not None
+
+    def _tick():
+        return _time.perf_counter() if timing else 0.0
+
+    def _tock(key, t0):
+        if timing:
+            stats[key] = stats.get(key, 0.0) + (_time.perf_counter() - t0)
+
     def _materialize(pending):
         x_res, gene_res, rows = pending
-        res_parts.append(sp.csr_matrix(np.asarray(x_res)[:rows]))
+        t0 = _tick()
+        x_np = np.asarray(x_res)[:rows]
+        g_np = np.asarray(gene_res)[:rows] if calculate_gene_values else None
+        _tock("d2h_sec", t0)
+        t0 = _tick()
+        res_parts.append(sp.csr_matrix(x_np))
         if calculate_gene_values:
-            gene_parts.append(np.asarray(gene_res)[:rows])
+            gene_parts.append(g_np)
+        _tock("csr_sec", t0)
+
+    sparse_fn_cache: dict = {}
+    compiled_cache: dict = {}
+
+    def _get_sparse_fn(cap, rows_padded):
+        from ..ops.sparse_ingest import build_sparse_infercnv_fn
+
+        key = (cap, rows_padded)
+        if key not in sparse_fn_cache:
+            sparse_fn_cache[key] = build_sparse_infercnv_fn(
+                plan,
+                n_rows=rows_padded,
+                nnz_cap=cap,
+                n_ref_rows=reference.shape[0],
+                lfc_clip=lfc_clip,
+                dynamic_threshold=dynamic_threshold,
+                num_chunks=num_chunks,
+                calculate_gene_values=calculate_gene_values,
+                dtype=cdtype,
+            )
+        return sparse_fn_cache[key]
+
+    def _run(f, *args):
+        """Call ``f``; with stats enabled, AOT-compile once (timed separately)
+        and block so compute time is attributed to this stage."""
+        if not timing:
+            return f(*args)
+        key = id(f)
+        if key not in compiled_cache:
+            if hasattr(f, "lower"):
+                t0 = _time.perf_counter()
+                compiled_cache[key] = f.lower(*args).compile()
+                stats["compile_sec"] = stats.get("compile_sec", 0.0) + (_time.perf_counter() - t0)
+            else:
+                compiled_cache[key] = f
+        t0 = _time.perf_counter()
+        out = compiled_cache[key](*args)
+        jax.block_until_ready([o for o in out if o is not None])
+        stats["compute_sec"] = stats.get("compute_sec", 0.0) + (_time.perf_counter() - t0)
+        return out
+
+    if timing:
+        stats["mode"] = "device_densify" if use_sparse else ("mesh" if use_mesh else "host_pack")
 
     # software pipeline: while the device computes batch k, the host packs
     # batch k+1 and drains batch k-1 (async device->host copy) — packing,
     # transfers, and compute all overlap (the TPU analogue of the reference's
-    # worker pool keeping all cores busy, reference: tl/_infercnv.py:120-137)
+    # worker pool keeping all cores busy, reference: tl/_infercnv.py:120-137).
+    # With stats enabled every stage blocks, so the breakdown is exact and the
+    # total is an upper bound on the pipelined time.
     pending = None
     for start in range(0, n_cells, batch_cells):
         stop = min(start + batch_cells, n_cells)
         raw = expr[start:stop]
-        if sp.issparse(raw):
-            block = pack_csr(raw, plan, lut, dtype=cdtype)
-        else:
-            block = pack_columns(_ensure_array(np.asarray(raw)), plan, lut, dtype=cdtype)
         rows = stop - start
         pad = batch_cells - rows if (n_cells > batch_cells) else 0
         # the cell axis must split evenly over the mesh
         pad += (-(rows + pad)) % n_dev
-        if pad:
-            block = np.vstack([block, np.zeros((pad, packed_width(plan)), dtype=block.dtype)])
-        chunk_ids = (start + np.arange(block.shape[0])) // chunksize
+        rows_padded = rows + pad
+
+        t0 = _tick()
+        if use_sparse:
+            from ..ops.sparse_ingest import coo_from_csr_batch, round_nnz_cap
+
+            cap = round_nnz_cap(raw.nnz)
+            cols, vals, counts, _nnz = coo_from_csr_batch(raw, lut, width, cap, val_dtype=np.dtype(cdtype))
+            if pad:
+                counts = np.concatenate([counts, np.zeros(pad, np.int32)])
+            operands = (cols, vals, counts)
+            h2d_bytes = cols.nbytes + vals.nbytes + counts.nbytes
+        else:
+            if sp.issparse(raw):
+                block = pack_csr(raw, plan, lut, dtype=cdtype)
+            else:
+                block = pack_columns(_ensure_array(np.asarray(raw)), plan, lut, dtype=cdtype)
+            if pad:
+                block = np.vstack([block, np.zeros((pad, width), dtype=block.dtype)])
+            operands = (block,)
+            h2d_bytes = block.nbytes
+        _tock("host_pack_sec", t0)
+
+        chunk_ids = (start + np.arange(rows_padded)) // chunksize
         if pad:
             chunk_ids[rows:] = num_chunks
         chunk_ids = chunk_ids.astype(np.int32)
+
+        t0 = _tick()
         if use_mesh:
-            block = jax.device_put(block, data_sh)
+            operands = tuple(jax.device_put(o, data_sh) for o in operands)
             chunk_ids = jax.device_put(chunk_ids, data_sh)
-        x_res, gene_res = fn(block, ref_dev, chunk_ids)  # async dispatch
+        else:
+            operands = tuple(jax.device_put(o) for o in operands)
+            chunk_ids = jax.device_put(chunk_ids)
+        if timing:
+            jax.block_until_ready(operands)
+            stats["h2d_bytes"] = stats.get("h2d_bytes", 0) + h2d_bytes
+        _tock("h2d_sec", t0)
+
+        if use_sparse:
+            cols_d, vals_d, counts_d = operands
+            x_res, gene_res = _run(_get_sparse_fn(cap, rows_padded), cols_d, vals_d, counts_d, ref_dev, chunk_ids)
+        else:
+            x_res, gene_res = _run(fn, operands[0], ref_dev, chunk_ids)
         for arr in (x_res, gene_res):
             if arr is not None and hasattr(arr, "copy_to_host_async"):
                 arr.copy_to_host_async()

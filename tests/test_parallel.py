@@ -109,13 +109,13 @@ def test_public_api_uses_all_devices():
     pos_m, res_m, _ = cnv.tl.infercnv(
         adata, reference_key="grp", reference_cat="ref", window_size=15, step=4, chunksize=16, inplace=False
     )
-    assert _LAST_RUN_INFO == {"n_devices": 8, "sharded": True}
+    assert _LAST_RUN_INFO == {"n_devices": 8, "sharded": True, "device_densify": False}
 
     pos_s, res_s, _ = cnv.tl.infercnv(
         adata, reference_key="grp", reference_cat="ref", window_size=15, step=4, chunksize=16,
         inplace=False, mesh=False,
     )
-    assert _LAST_RUN_INFO == {"n_devices": 1, "sharded": False}
+    assert _LAST_RUN_INFO == {"n_devices": 1, "sharded": False, "device_densify": False}
     assert pos_m == pos_s
     npt.assert_allclose(res_m.toarray(), res_s.toarray(), rtol=1e-6, atol=1e-7)
 
