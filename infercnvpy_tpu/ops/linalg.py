@@ -5,6 +5,15 @@ Replaces the reference's ARPACK path (reference: tl/__init__.py:66-71 calls
 accumulate the (windows × windows) Gram matrix with blocked MXU matmuls over
 streamed row blocks (works for sparse inputs of any cell count), then a single
 dense ``eigh`` on the small Gram matrix gives the top components.
+
+Precision: the Gram approach squares the condition number, and *any* float32
+representation of the Gram — however the products are computed — bounds tail
+eigenvalues at ~2⁻²⁴ · (σ₁/σᵢ)² relative error (a double-f32 product scheme
+was measured to change nothing: the storage ulp dominates).  So
+``high_precision`` (default: on when jax x64 is enabled) switches to float64
+end-to-end: on x64 backends the blocked matmuls run in f64 on device; without
+x64 (TPU) the Gram/projection run in f64 on the host via BLAS — an opt-in
+accuracy/throughput trade (~n·d² host FLOPs) for ill-conditioned inputs.
 """
 
 from __future__ import annotations
@@ -39,46 +48,92 @@ def truncated_svd(
     block_rows: int = 16384,
     dtype=np.float32,
     sign_convention: bool = True,
+    high_precision: bool | None = None,
 ):
     """Top-``n_comps`` principal scores of X (cells × features).
 
     Returns (scores, components, singular_values):
     ``scores[i] = X[i] @ components.T`` — matching sklearn TruncatedSVD /
     non-centered PCA semantics used by the reference.
+
+    high_precision
+        ``None`` (default) enables the float64 path automatically when jax
+        x64 is on.  ``True`` forces it: f64 device matmuls where the backend
+        supports them, otherwise f64 host (BLAS) accumulation — exact for
+        ill-conditioned inputs where the f32 Gram loses the tail components
+        (singular values spanning ≳1e3).
     """
     n, d = X.shape
     n_comps = int(min(n_comps, min(n, d)))
+    x64 = jax.config.read("jax_enable_x64")
+    use_hp = x64 if high_precision is None else bool(high_precision)
 
-    G = jnp.zeros((d, d), dtype=jnp.float32)
-    s = jnp.zeros((d,), dtype=jnp.float32)
-    for start in range(0, n, block_rows):
-        blk = X[start : start + block_rows]
-        blk = blk.toarray() if sp.issparse(blk) else np.asarray(blk)
-        blk = jnp.asarray(blk.astype(dtype, copy=False))
-        G = _gram_accum(G, blk)
-        if zero_center:
-            s = _col_sums(s, blk)
+    def _blocks():
+        for start in range(0, n, block_rows):
+            blk = X[start : start + block_rows]
+            yield start, blk.toarray() if sp.issparse(blk) else np.asarray(blk)
+
+    s64 = np.zeros(d, dtype=np.float64)
+    if use_hp and x64:
+        # float64 on device (CPU / x64-enabled backends)
+        G = jnp.zeros((d, d), dtype=jnp.float64)
+        for _, blk in _blocks():
+            b = jnp.asarray(blk.astype(np.float64, copy=False))
+            G = _gram_accum(G, b)
+            if zero_center:
+                s64 += np.asarray(blk, dtype=np.float64).sum(axis=0)
+        G64 = np.asarray(G, dtype=np.float64)
+    elif use_hp:
+        # backend has no f64 (TPU): exact f64 accumulation on the host
+        G64 = np.zeros((d, d), dtype=np.float64)
+        for _, blk in _blocks():
+            b64 = np.asarray(blk, dtype=np.float64)
+            G64 += b64.T @ b64
+            if zero_center:
+                s64 += b64.sum(axis=0)
+    else:
+        G = jnp.zeros((d, d), dtype=jnp.float32)
+        s = jnp.zeros((d,), dtype=jnp.float32)
+        for _, blk in _blocks():
+            b = jnp.asarray(blk.astype(dtype, copy=False))
+            G = _gram_accum(G, b)
+            if zero_center:
+                s = _col_sums(s, b)
+        G64 = np.asarray(G, dtype=np.float64)
+        s64 = np.asarray(s, dtype=np.float64)
 
     if zero_center:
-        mu = s / n
-        G = G - n * jnp.outer(mu, mu)
+        mu = s64 / n
+        G64 = G64 - n * np.outer(mu, mu)
 
-    evals, evecs = jnp.linalg.eigh(G)  # ascending
-    order = jnp.argsort(evals)[::-1][:n_comps]
-    top_vals = jnp.maximum(evals[order], 0.0)
-    V = evecs[:, order]  # (d, k)
+    # the Gram matrix is tiny (features × features) — a host f64 eigh is exact
+    # enough for every path and costs nothing next to the accumulation
+    evals, evecs = np.linalg.eigh(G64)  # ascending
+    order = np.argsort(evals)[::-1][:n_comps]
+    top_vals = np.maximum(evals[order], 0.0)
+    V64 = evecs[:, order]  # (d, k)
 
-    mu_np = np.asarray(s / n) if zero_center else None
-    V_np = np.asarray(V)
-    scores = np.empty((n, n_comps), dtype=np.float32)
-    for start in range(0, n, block_rows):
-        blk = X[start : start + block_rows]
-        blk = blk.toarray() if sp.issparse(blk) else np.asarray(blk)
-        blk = blk.astype(np.float32, copy=False)
-        if zero_center:
-            blk = blk - mu_np
-        scores[start : start + blk.shape[0]] = _project(blk, V_np)
+    mu_np = (s64 / n) if zero_center else None
+    out_dtype = np.float64 if use_hp else np.float32
+    scores = np.empty((n, n_comps), dtype=out_dtype)
+    for start, blk in _blocks():
+        if use_hp and x64:
+            b = blk.astype(np.float64, copy=False)
+            if zero_center:
+                b = b - mu_np
+            scores[start : start + blk.shape[0]] = _project(b, jnp.asarray(V64))
+        elif use_hp:
+            b64 = np.asarray(blk, dtype=np.float64)
+            if zero_center:
+                b64 = b64 - mu_np
+            scores[start : start + blk.shape[0]] = b64 @ V64
+        else:
+            b = blk.astype(np.float32, copy=False)
+            if zero_center:
+                b = b - mu_np.astype(np.float32)
+            scores[start : start + blk.shape[0]] = _project(b, jnp.asarray(V64.astype(np.float32)))
 
+    V_np = V64.astype(out_dtype)
     if sign_convention:
         # deterministic signs: largest-|loading| entry of each component positive
         # (sklearn svd_flip-style; makes runs reproducible across backends)
@@ -87,4 +142,4 @@ def truncated_svd(
         scores *= flip
         V_np = V_np * flip
 
-    return scores, V_np.T, np.sqrt(np.asarray(top_vals))
+    return scores, V_np.T, np.sqrt(top_vals)

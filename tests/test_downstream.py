@@ -42,6 +42,46 @@ def test_truncated_svd_matches_numpy_svd():
     npt.assert_allclose(svals, s_np, rtol=1e-3)
 
 
+def _ill_conditioned(n=300, d=50, span=1e4, seed=3):
+    """Matrix with singular values spanning `span` (condition^2 kills f32 Gram)."""
+    rng = np.random.default_rng(seed)
+    u, _ = np.linalg.qr(rng.normal(size=(n, d)))
+    v, _ = np.linalg.qr(rng.normal(size=(d, d)))
+    svals = np.logspace(np.log10(span), 0, d)
+    return (u * svals) @ v.T, svals
+
+
+@pytest.mark.parametrize("force_host_f64", [False, True])
+def test_truncated_svd_high_precision_ill_conditioned(force_host_f64):
+    """All 50 components of an ill-conditioned matrix (sigma spanning 1e4) must
+    match numpy SVD at rtol 1e-6 on both high-precision paths: device float64
+    (auto under x64) and host-BLAS float64 (what a TPU without x64 runs)."""
+    import jax
+
+    from infercnvpy_tpu.ops import linalg as L
+
+    X, svals_true = _ill_conditioned()
+    if force_host_f64:
+        # exercise the host-f64 branch directly (what a TPU without x64 runs)
+        # by disabling the x64 fast path
+        orig = jax.config.read("jax_enable_x64")
+        try:
+            jax.config.update("jax_enable_x64", False)
+            scores, components, svals = L.truncated_svd(X, 50, high_precision=True)
+        finally:
+            jax.config.update("jax_enable_x64", orig)
+    else:
+        scores, components, svals = L.truncated_svd(X, 50, high_precision=None)  # auto: x64 on
+    rtol = 1e-6
+    npt.assert_allclose(svals, svals_true[:50], rtol=rtol)
+    # scores must reproduce X @ components.T at the same accuracy
+    npt.assert_allclose(scores, X @ components.T, rtol=1e-4, atol=float(svals_true[0]) * rtol)
+    # plain f32 path demonstrably fails on the tail components at the same
+    # tolerance (sanity that the test actually discriminates)
+    _, _, svals_f32 = L.truncated_svd(X, 50, high_precision=False)
+    assert not np.allclose(svals_f32, svals_true[:50], rtol=rtol)
+
+
 def test_truncated_svd_sparse_and_blocked():
     rng = np.random.default_rng(2)
     X = sp.random(500, 60, density=0.2, format="csr", random_state=2, dtype=np.float32)
