@@ -151,13 +151,19 @@ def main():
     gene_dt = min((gene_timed(9) - gene_timed(1)) / 8.0 for _ in range(2))
     note("gene-values mode timed")
 
-    # --- end-to-end: CSR AnnData-style input -> host pack -> device -> CSR out
-    def e2e(n_cells_e2e, density=0.05):
-        import scipy.sparse as s_sp
+    # --- end-to-end: CSR AnnData-style input -> device -> CSR out.
+    # Default path ships the CSR arrays and densifies ON DEVICE
+    # (ops/sparse_ingest.py); device_densify=False measures the legacy
+    # host-pack path for comparison.  Stats mode serializes the pipeline, so
+    # each stage (host remap / h2d transfer / compute / d2h / csr assembly /
+    # compile) is attributed exactly; the reported total excludes compile.
+    import resource
 
-        from infercnvpy_tpu.ops.infercnv_kernel import _pack_lut, pack_csr
-        from infercnvpy_tpu.tl._infercnv import _infercnv_compute
+    import scipy.sparse as s_sp
 
+    from infercnvpy_tpu.tl._infercnv import _infercnv_compute
+
+    def make_csr(n_cells_e2e, density):
         rng = np.random.default_rng(1)
         nnz_per_row = max(1, int(n_genes * density))
         indptr = np.arange(n_cells_e2e + 1, dtype=np.int64) * nnz_per_row
@@ -165,15 +171,12 @@ def main():
         data = rng.normal(size=n_cells_e2e * nnz_per_row).astype(np.float32) ** 2
         expr = s_sp.csr_matrix((data, indices, indptr), shape=(n_cells_e2e, n_genes))
         expr.sum_duplicates()
+        return expr
+
+    def e2e(n_cells_e2e, density=0.05, device_densify=None):
+        expr = make_csr(n_cells_e2e, density)
         ref = np.asarray(expr[: min(2000, n_cells_e2e)].mean(axis=0), dtype=np.float64)
-
-        # host-pack-only pass (the CSR->packed-dense densification cost)
-        lut = _pack_lut(plan, n_genes)
-        t0 = time.perf_counter()
-        for start in range(0, n_cells_e2e, 16384):
-            pack_csr(expr[start : start + 16384], plan, lut)
-        t_pack = time.perf_counter() - t0
-
+        stats = {}
         t0 = time.perf_counter()
         chr_pos, res, _ = _infercnv_compute(
             expr,
@@ -187,22 +190,49 @@ def main():
             calculate_gene_values=False,
             batch_cells=None,
             dtype=np.float32,
+            device_densify=device_densify,
+            stats=stats,
+            num_chunk_segments=256,  # shared capacity -> one executable for all sizes
         )
         t_total = time.perf_counter() - t0
         assert res.shape == (n_cells_e2e, plan.n_windows)
-        return {
+        compile_sec = stats.get("compile_sec", 0.0)
+        run_sec = t_total - compile_sec
+        h2d = stats.get("h2d_bytes", 0)
+        out = {
             "n_cells": n_cells_e2e,
             "density": density,
-            "total_sec": float(f"{t_total:.4g}"),
-            "cells_per_sec": float(f"{n_cells_e2e / t_total:.4g}"),
-            "host_pack_sec": float(f"{t_pack:.4g}"),
-            "device_share": float(f"{max(0.0, 1 - t_pack / t_total):.3g}"),
+            "mode": stats.get("mode"),
+            "total_sec": float(f"{run_sec:.4g}"),
+            "cells_per_sec": float(f"{n_cells_e2e / max(run_sec, 1e-9):.4g}"),
+            "compile_sec": float(f"{compile_sec:.4g}"),
+            "stages_sec": {
+                k.removesuffix("_sec"): float(f"{stats.get(k, 0.0):.4g}")
+                for k in ("host_pack_sec", "h2d_sec", "compute_sec", "d2h_sec", "csr_sec")
+            },
+            "h2d_bytes": int(h2d),
+            "h2d_mbps": float(f"{h2d / max(stats.get('h2d_sec', 0.0), 1e-9) / 1e6:.4g}"),
+            "peak_host_rss_gb": float(f"{resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6:.3g}"),
         }
+        del expr, res
+        return out
 
-    e2e_results = [e2e(16384)]
-    note("e2e 16384 done")
-    e2e_results.append(e2e(102400))
-    note("e2e 102400 done")
+    import os as _os
+
+    E2E_BUDGET_SEC = float(_os.environ.get("BENCH_E2E_BUDGET", "1200"))
+    sizes_env = _os.environ.get("BENCH_E2E_SIZES")  # e.g. "1024,4096" for smoke runs
+    first, *rest = [int(s) for s in sizes_env.split(",")] if sizes_env else [16384, 102400, 512000, 1024000]
+    t_e2e0 = time.perf_counter()
+    e2e_results = [e2e(first)]
+    note(f"e2e {first} (device_densify) done")
+    e2e_results.append(e2e(first, device_densify=False))
+    note(f"e2e {first} (host pack) done")
+    for n_c in rest:
+        if time.perf_counter() - t_e2e0 > E2E_BUDGET_SEC:
+            e2e_results.append({"n_cells": n_c, "skipped": "e2e time budget exhausted"})
+            continue
+        e2e_results.append(e2e(n_c))
+        note(f"e2e {n_c} done")
 
     ops = n_cells * plan.n_windows * window  # useful cell-gene-window MACs
     ops_per_sec = ops / dt

@@ -174,6 +174,7 @@ def _infercnv_compute(
     mesh=None,
     device_densify: bool | None = None,
     stats: dict | None = None,
+    num_chunk_segments: int | None = None,
 ):
     """Run the full pipeline; returns (chr_pos, csr result, used-gene matrix or None).
 
@@ -182,6 +183,11 @@ def _infercnv_compute(
     ``d2h_sec``, ``csr_sec``, ``compile_sec``, ``mode``.  Collecting it
     serializes the software pipeline (each stage blocks), so totals with
     stats enabled are an upper bound on the pipelined wall time.
+
+    ``num_chunk_segments`` — capacity of the chunk-noise segment reduction
+    (must be >= the actual chunk count).  Runs over differently-sized inputs
+    that share a capacity compile to the SAME executable; the default sizes
+    the reduction exactly.
     """
     import time as _time
 
@@ -196,6 +202,10 @@ def _infercnv_compute(
 
     cdtype = _pick_dtype(expr, dtype)
     num_chunks = max(1, -(-n_cells // chunksize))
+    if num_chunk_segments is not None:
+        if num_chunk_segments < num_chunks:
+            raise ValueError(f"num_chunk_segments {num_chunk_segments} < actual chunk count {num_chunks}")
+        num_chunks = num_chunk_segments
 
     if batch_cells is None:
         # target ≈1.5 GB of dense input per batch, rounded to whole chunks
@@ -320,6 +330,18 @@ def _infercnv_compute(
     if timing:
         stats["mode"] = "device_densify" if use_sparse else ("mesh" if use_mesh else "host_pack")
 
+    # one nnz capacity for ALL batches of this run (the per-batch maximum,
+    # bucket-rounded) so every batch hits the same compiled executable
+    shared_cap = None
+    if use_sparse and hasattr(expr, "indptr"):
+        from ..ops.sparse_ingest import round_nnz_cap
+
+        ptr = expr.indptr
+        batch_nnz = [
+            int(ptr[min(s + batch_cells, n_cells)] - ptr[s]) for s in range(0, n_cells, batch_cells)
+        ]
+        shared_cap = round_nnz_cap(max(batch_nnz))
+
     # software pipeline: while the device computes batch k, the host packs
     # batch k+1 and drains batch k-1 (async device->host copy) — packing,
     # transfers, and compute all overlap (the TPU analogue of the reference's
@@ -340,7 +362,7 @@ def _infercnv_compute(
         if use_sparse:
             from ..ops.sparse_ingest import coo_from_csr_batch, round_nnz_cap
 
-            cap = round_nnz_cap(raw.nnz)
+            cap = shared_cap if shared_cap is not None else round_nnz_cap(raw.nnz)
             cols, vals, counts, _nnz = coo_from_csr_batch(raw, lut, width, cap, val_dtype=np.dtype(cdtype))
             if pad:
                 counts = np.concatenate([counts, np.zeros(pad, np.int32)])
