@@ -103,14 +103,13 @@ def main():
     # compile (one program — `iters` is traced)
     timed(1)
     note("default-mode kernel compiled")
-    timed(21)
-    best = None
-    for _ in range(3):
-        t1, _ = timed(1)
-        t21, _ = timed(21)
-        per_iter = (t21 - t1) / 20.0
-        best = per_iter if best is None else min(best, per_iter)
-    dt = max(best, 1e-9)
+    # long loop minus short loop cancels dispatch + tunnel RTT; taking the
+    # min of each side over 3 samples bounds RTT jitter (tens of ms, which
+    # at (t21-t1)/20 scale used to alias ±0.5 ms into the per-call number)
+    timed(101)
+    t1 = min(timed(1)[0] for _ in range(3))
+    t101 = min(timed(101)[0] for _ in range(3))
+    dt = max((t101 - t1) / 100.0, 1e-9)
 
     # --- gene-values mode (fused kernel + XLA back-projection epilogue) ---
     gene_fn = build_infercnv_fn(
@@ -147,8 +146,10 @@ def main():
 
     gene_timed(1)
     note("gene-values kernel compiled")
-    gene_timed(9)
-    gene_dt = min((gene_timed(9) - gene_timed(1)) / 8.0 for _ in range(2))
+    gene_timed(51)
+    g1 = min(gene_timed(1) for _ in range(3))
+    g51 = min(gene_timed(51) for _ in range(3))
+    gene_dt = (g51 - g1) / 50.0
     note("gene-values mode timed")
 
     # --- end-to-end: CSR AnnData-style input -> device -> CSR out.

@@ -99,21 +99,24 @@ def infercnv(
         expr = expr.tocsr()
     var = tmp_adata.var.loc[:, ["chromosome", "start", "end"]]
 
-    chr_pos, res, per_gene_mtx = _infercnv_compute(
-        expr,
-        var,
-        np.asarray(reference, dtype=np.float64),
-        lfc_clip=lfc_clip,
-        window_size=window_size,
-        step=step,
-        dynamic_threshold=dynamic_threshold,
-        chunksize=chunksize,
-        calculate_gene_values=calculate_gene_values,
-        batch_cells=batch_cells,
-        dtype=dtype,
-        mesh=mesh,
-        device_densify=device_densify,
-    )
+    from ..profiling import maybe_trace
+
+    with maybe_trace("infercnv"):
+        chr_pos, res, per_gene_mtx = _infercnv_compute(
+            expr,
+            var,
+            np.asarray(reference, dtype=np.float64),
+            lfc_clip=lfc_clip,
+            window_size=window_size,
+            step=step,
+            dynamic_threshold=dynamic_threshold,
+            chunksize=chunksize,
+            calculate_gene_values=calculate_gene_values,
+            batch_cells=batch_cells,
+            dtype=dtype,
+            mesh=mesh,
+            device_densify=device_densify,
+        )
 
     if calculate_gene_values:
         # reindex used-gene values to the FULL original var axis, NaN elsewhere

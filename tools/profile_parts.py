@@ -34,8 +34,13 @@ def timeit(make_body):
         return acc
     def t(iters):
         t0 = time.perf_counter(); float(loop(0, iters)); return time.perf_counter() - t0
-    t(1); t(21)
-    return min((t(21) - t(1)) / 20.0 for _ in range(3))
+    t(1); t(1)
+    # long loop minus short loop: per-iter time with tunnel RTT cancelled;
+    # min-of-3 on each side bounds the RTT jitter (~10s of ms) that used to
+    # alias into the per-iteration number at (jitter/20) scale
+    t1 = min(t(1) for _ in range(3))
+    t101 = min(t(101) for _ in range(3))
+    return (t101 - t1) / 100.0
 
 def kernel_body(skip):
     def f(x, refv):
