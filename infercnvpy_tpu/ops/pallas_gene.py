@@ -125,7 +125,15 @@ def _bgather(src, idx_abs, base: int, nblk: int):
 
 
 def _make_gene_kernel(
-    gpd: GeneProjectionData, *, gate: bool, wp: int, gp: int, cp: int, interpret: bool, force_roll: bool = False
+    gpd: GeneProjectionData,
+    *,
+    gate: bool,
+    wp: int,
+    gp: int,
+    cp: int,
+    interpret: bool,
+    force_roll: bool = False,
+    debug_skip: tuple = (),
 ):
     n_win = gpd.n_windows
     total = gpd.total
@@ -143,7 +151,9 @@ def _make_gene_kernel(
         # prefix sum along lanes: log-shift rolls (Mosaic has no cumsum).
         # Interpret mode substitutes jnp.cumsum for speed; force_roll runs the
         # exact roll formulation shipped to hardware (roll-parity tests).
-        if interpret and not force_roll:
+        if "prefix" in debug_skip:  # pragma: no cover - profiling only
+            c = x
+        elif interpret and not force_roll:
             c = jnp.cumsum(x, axis=1)
         else:
             col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
@@ -155,9 +165,14 @@ def _make_gene_kernel(
 
         # group means: (prefix[hi] - prefix[lo-1]) / (hi - lo + 1)
         upieces = []
+        nbw = wp // _LANE
         for j in range(gp // _LANE):
             hi_idx = ghi_ref[0:1, j * _LANE : (j + 1) * _LANE]
             lo_idx = glo_ref[0:1, j * _LANE : (j + 1) * _LANE]
+            if "gmeans" in debug_skip:  # pragma: no cover - profiling only
+                jj = (j % nbw) * _LANE
+                upieces.append(c[:, jj : jj + _LANE])
+                continue
             ph = _bgather(c, hi_idx, *h_plan[j])
             lom1 = lo_idx - 1
             plo = _bgather(c, jnp.maximum(lom1, 0), *l_plan[j])
@@ -173,9 +188,12 @@ def _make_gene_kernel(
         keys = jnp.where(valid, keys, _MAXKEY)
         lo0 = jnp.min(keys, axis=1)[:, None]
         hi0 = jnp.max(jnp.where(valid, keys, _MINKEY), axis=1)[:, None]
-        kh = _select_kth_multi([keys], k_hi, bounds=(lo0, hi0), n_valid=total, weights=[wts])
+        if "wmedian" in debug_skip:  # pragma: no cover - profiling only
+            kh = lo0[:, 0]
+        else:
+            kh = _select_kth_multi([keys], k_hi, bounds=(lo0, hi0), n_valid=total, weights=[wts])
         v_hi = _key_to_float(kh)
-        if odd:
+        if odd or "wmedian" in debug_skip:
             med = v_hi
         else:
             lt = keys < kh[:, None]
@@ -190,7 +208,12 @@ def _make_gene_kernel(
             u_res = jnp.where(jnp.abs(u_res) < t, jnp.float32(0.0), u_res)
 
         # expansion to gene columns (group-sorted order): banded gathers
+        ngb = gp // _LANE
         for q in range(cp // _LANE):
+            if "expand" in debug_skip:  # pragma: no cover - profiling only
+                qq = (q % ngb) * _LANE
+                out_ref[:, q * _LANE : (q + 1) * _LANE] = u_res[:, qq : qq + _LANE]
+                continue
             gi = gix_ref[0:1, q * _LANE : (q + 1) * _LANE]
             out_ref[:, q * _LANE : (q + 1) * _LANE] = _bgather(u_res, gi, *x_plan[q])
 
@@ -210,8 +233,8 @@ class _GpdKey:
         return isinstance(other, _GpdKey) and other.gpd is self.gpd
 
 
-@partial(jax.jit, static_argnames=("gpd_key", "gate", "row_tile", "force_roll"))
-def _gene_project_impl(x_res, thr8, gpd_key, gate, row_tile, force_roll=False):
+@partial(jax.jit, static_argnames=("gpd_key", "gate", "row_tile", "force_roll", "debug_skip"))
+def _gene_project_impl(x_res, thr8, gpd_key, gate, row_tile, force_roll=False, debug_skip=()):
     gpd = gpd_key.gpd
     n, w = x_res.shape
     if n % row_tile != 0:
@@ -222,7 +245,9 @@ def _gene_project_impl(x_res, thr8, gpd_key, gate, row_tile, force_roll=False):
     interpret = jax.default_backend() == "cpu"
     if wp != w:
         x_res = jnp.pad(x_res, ((0, 0), (0, wp - w)))
-    kernel = _make_gene_kernel(gpd, gate=gate, wp=wp, gp=gp, cp=cp, interpret=interpret, force_roll=force_roll)
+    kernel = _make_gene_kernel(
+        gpd, gate=gate, wp=wp, gp=gp, cp=cp, interpret=interpret, force_roll=force_roll, debug_skip=debug_skip
+    )
     ghi = jnp.asarray(_pad_to(gpd.g_hi, gp, gpd.g_hi[-1]).reshape(1, -1))
     glo = jnp.asarray(_pad_to(gpd.g_lo, gp, gpd.g_lo[-1]).reshape(1, -1))
     wts = jnp.asarray(_pad_to(gpd.g_counts, gp, np.int32(0)).reshape(1, -1))
@@ -245,7 +270,16 @@ def _gene_project_impl(x_res, thr8, gpd_key, gate, row_tile, force_roll=False):
     )(x_res, thr8, ghi, glo, wts, gix)
 
 
-def gene_project(x_res, thr8, gpd: GeneProjectionData, *, gate: bool, row_tile: int = 256, force_roll: bool = False):
+def gene_project(
+    x_res,
+    thr8,
+    gpd: GeneProjectionData,
+    *,
+    gate: bool,
+    row_tile: int = 256,
+    force_roll: bool = False,
+    debug_skip: tuple = (),
+):
     """Per-gene back-projection of the median-centered window matrix.
 
     x_res — (cells, n_windows) f32, PRE-noise-gate, cells a multiple of
@@ -254,5 +288,5 @@ def gene_project(x_res, thr8, gpd: GeneProjectionData, *, gate: bool, row_tile: 
     matrix in group-sorted column order (``gpd.covered_sorted``), already
     median-subtracted and gated.
     """
-    out = _gene_project_impl(x_res, thr8, _GpdKey(gpd), bool(gate), int(row_tile), bool(force_roll))
+    out = _gene_project_impl(x_res, thr8, _GpdKey(gpd), bool(gate), int(row_tile), bool(force_roll), tuple(debug_skip))
     return out[:, : gpd.total]

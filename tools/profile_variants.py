@@ -38,7 +38,7 @@ def timeit(make_body):
     return (t101 - t1) / 100.0
 
 chunk_ids = jnp.asarray((np.arange(n_cells) // 5000).astype(np.int32))
-tiles = [int(a) for a in sys.argv[1:]] or [128, 256, 512]
+tiles = [int(a) for a in sys.argv[1:] if not a.startswith("-")] or [128, 256, 512]
 for RT in tiles:
     full = build_infercnv_fn(plan, n_ref_rows=2, lfc_clip=3.0, dynamic_threshold=1.5,
                              num_chunks=4, dtype=jnp.float32, row_tile=RT)
@@ -47,3 +47,12 @@ for RT in tiles:
         return jnp.sum(y[0, :8])
     dt = timeit(full_body)
     print(f"rt={RT} full_fn: {dt*1e3:7.3f} ms", flush=True)
+
+if "--gene" in sys.argv:
+    gene = build_infercnv_fn(plan, n_ref_rows=2, lfc_clip=3.0, dynamic_threshold=1.5,
+                             num_chunks=4, calculate_gene_values=True, dtype=jnp.float32, row_tile=256)
+    def gene_body(x, refv):
+        y, g = gene(x, refv, chunk_ids)
+        return jnp.sum(y[0, :8]) + jnp.nansum(g[0, :8])
+    dt = timeit(gene_body)
+    print(f"rt=256 gene_fn: {dt*1e3:7.3f} ms", flush=True)
