@@ -56,7 +56,7 @@ def _select_kth(keys, k: int):
     return _select_kth_multi([keys], k)
 
 
-def _select_kth_multi(blocks, k: int, bounds=None, n_valid: int | None = None, weights=None):
+def _select_kth_multi(blocks, k: int, bounds=None, n_valid: int | None = None, weights=None, mxu=False):
     """Rank-k selection over the row-wise union of several key blocks.
 
     Counting over separate blocks avoids materializing their concatenation
@@ -83,6 +83,19 @@ def _select_kth_multi(blocks, k: int, bounds=None, n_valid: int | None = None, w
         hi0 = jnp.max(jnp.stack([jnp.max(b, axis=1) for b in blocks]), axis=0)[:, None]
 
     def count_le(m):
+        if mxu and weights is None:
+            # offload the row reduction to the (otherwise idle) MXU: the 0/1
+            # mask is exact in bf16 and the MXU accumulates in f32, so the
+            # count is exact for any block width < 2^24.
+            tot = None
+            for b in blocks:
+                mask = (b <= m).astype(jnp.bfloat16)
+                ones = jnp.ones((b.shape[1], 128), jnp.bfloat16)
+                c = jax.lax.dot_general(
+                    mask, ones, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                )[:, 0:1].astype(jnp.int32)
+                tot = c if tot is None else tot + c
+            return tot
         if weights is None:
             return sum(jnp.sum((b <= m).astype(jnp.int32), axis=1, keepdims=True) for b in blocks)
         return sum(
@@ -341,7 +354,7 @@ def _make_kernel(plan: WindowPlan, lfc_clip: float, n_ref: int, debug_skip: tupl
                         his.append(jnp.max(b, axis=1))
                 hi0 = jnp.max(jnp.stack(his), axis=0)[:, None]
                 bounds = (lo0, hi0)
-            kh = _select_kth_multi(blocks, k_hi, bounds, n_valid=n_windows)
+            kh = _select_kth_multi(blocks, k_hi, bounds, n_valid=n_windows, mxu="mxu_count" in debug_skip)
             v_hi = _key_to_float(kh)
             if odd:
                 med = v_hi

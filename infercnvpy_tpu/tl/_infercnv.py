@@ -48,6 +48,7 @@ def infercnv(
     dtype=None,
     mesh=None,
     device_densify: bool | None = None,
+    checkpoint_dir=None,
 ):
     """Infer Copy Number Variation (CNV) by averaging gene expression over genomic regions.
 
@@ -73,6 +74,12 @@ def infercnv(
         densities) instead of packing a dense block on the host.  ``None``
         (default) enables it automatically in that situation; ``False``
         forces the host packer.  Does not affect numerics.
+    checkpoint_dir
+        Stream each finished cell batch to this directory and resume an
+        interrupted run with the same configuration (finished batches load
+        from disk instead of recomputing; bit-identical results).  A
+        fingerprint manifest refuses directories written by a different
+        configuration.
     """
     del n_jobs
     if adata.shape[0] == 0:
@@ -116,6 +123,7 @@ def infercnv(
             dtype=dtype,
             mesh=mesh,
             device_densify=device_densify,
+            checkpoint_dir=checkpoint_dir,
         )
 
     if calculate_gene_values:
@@ -161,6 +169,36 @@ def _pick_dtype(expr, dtype):
 _LAST_RUN_INFO: dict = {}
 
 
+def _ckpt_fingerprint(
+    expr, var, reference, n_cells, n_genes, window_size, step, lfc_clip, dynamic_threshold,
+    chunksize, calculate_gene_values, batch_cells, cdtype,
+) -> str:
+    """Configuration hash guarding checkpoint reuse (any mismatch = new run).
+
+    The expression matrix enters via shape/dtype/nnz and its element sum — a
+    one-pass O(nnz) summary rather than a full content hash, so fingerprinting
+    a 1M-cell input costs a fraction of a batch compute.
+    """
+    import hashlib
+
+    h = hashlib.sha256()
+    for item in (
+        n_cells, n_genes, window_size, step, float(lfc_clip),
+        None if dynamic_threshold is None else float(dynamic_threshold),
+        chunksize, bool(calculate_gene_values), batch_cells, str(np.dtype(cdtype)),
+    ):
+        h.update(repr(item).encode())
+    if sp.issparse(expr):
+        h.update(repr((str(expr.dtype), int(expr.nnz), float(expr.data.astype(np.float64).sum()))).encode())
+    else:
+        e = np.asarray(expr)
+        h.update(repr((str(e.dtype), float(e.astype(np.float64).sum()))).encode())
+    h.update(np.ascontiguousarray(np.asarray(reference, dtype=np.float64)).tobytes())
+    h.update(",".join(var["chromosome"].astype(str)).encode())
+    h.update(np.ascontiguousarray(var["start"].to_numpy(np.int64)).tobytes())
+    return h.hexdigest()
+
+
 def _infercnv_compute(
     expr,
     var: pd.DataFrame,
@@ -178,6 +216,7 @@ def _infercnv_compute(
     device_densify: bool | None = None,
     stats: dict | None = None,
     num_chunk_segments: int | None = None,
+    checkpoint_dir=None,
 ):
     """Run the full pipeline; returns (chr_pos, csr result, used-gene matrix or None).
 
@@ -191,6 +230,16 @@ def _infercnv_compute(
     (must be >= the actual chunk count).  Runs over differently-sized inputs
     that share a capacity compile to the SAME executable; the default sizes
     the reduction exactly.
+
+    ``checkpoint_dir`` — stream each finished cell batch to disk
+    (``batch_<start>.npz``, written atomically) and, on a later call with the
+    SAME configuration, resume by loading finished batches instead of
+    recomputing them.  Batches are whole multiples of ``chunksize``, so the
+    chunk-scoped noise gate makes every batch independent and the resumed
+    result is bit-identical to an uninterrupted run.  A ``manifest.json``
+    fingerprint guards against silently mixing configurations.  (The
+    reference has no partial-work persistence at all — its only checkpoint
+    is the final h5ad, reference: pl/_chromosome_heatmap.py:57-58.)
     """
     import time as _time
 
@@ -259,6 +308,29 @@ def _infercnv_compute(
     _LAST_RUN_INFO.clear()
     _LAST_RUN_INFO.update({"n_devices": n_dev, "sharded": use_mesh, "device_densify": use_sparse})
 
+    ckpt = None
+    if checkpoint_dir is not None:
+        import json
+        from pathlib import Path
+
+        ckpt = Path(checkpoint_dir)
+        ckpt.mkdir(parents=True, exist_ok=True)
+        fp = _ckpt_fingerprint(
+            expr, var, reference, n_cells, n_genes, window_size, step, lfc_clip, dynamic_threshold,
+            chunksize, calculate_gene_values, batch_cells, cdtype,
+        )
+        manifest = ckpt / "manifest.json"
+        if manifest.exists():
+            if json.loads(manifest.read_text()).get("fingerprint") != fp:
+                raise ValueError(
+                    f"checkpoint_dir {str(ckpt)!r} holds results for a DIFFERENT configuration "
+                    "(data, reference, or parameters changed) — clear it or pick another directory."
+                )
+        else:
+            tmp = manifest.with_suffix(".json.tmp")
+            tmp.write_text(json.dumps({"fingerprint": fp, "n_cells": n_cells, "batch_cells": batch_cells}))
+            tmp.replace(manifest)
+
     # host-side packing: genes land in the plan's packed layout during
     # densification, so the device never pays for the permutation gather
     lut = _pack_lut(plan, n_genes)
@@ -279,15 +351,30 @@ def _infercnv_compute(
             stats[key] = stats.get(key, 0.0) + (_time.perf_counter() - t0)
 
     def _materialize(pending):
-        x_res, gene_res, rows = pending
+        x_res, gene_res, rows, start = pending
         t0 = _tick()
         x_np = np.asarray(x_res)[:rows]
         g_np = np.asarray(gene_res)[:rows] if calculate_gene_values else None
         _tock("d2h_sec", t0)
         t0 = _tick()
-        res_parts.append(sp.csr_matrix(x_np))
+        mat = sp.csr_matrix(x_np)
+        res_parts.append(mat)
         if calculate_gene_values:
             gene_parts.append(g_np)
+        if ckpt is not None:
+            import os as _os
+
+            bf = ckpt / f"batch_{start:010d}.npz"
+            tmp = ckpt / f"batch_{start:010d}.npz.tmp"
+            payload = {
+                "data": mat.data, "indices": mat.indices, "indptr": mat.indptr,
+                "shape": np.asarray(mat.shape, np.int64),
+            }
+            if calculate_gene_values:
+                payload["gene"] = g_np
+            with open(tmp, "wb") as fh:
+                np.savez(fh, **payload)
+            _os.replace(tmp, bf)
         _tock("csr_sec", t0)
 
     sparse_fn_cache: dict = {}
@@ -354,6 +441,21 @@ def _infercnv_compute(
     pending = None
     for start in range(0, n_cells, batch_cells):
         stop = min(start + batch_cells, n_cells)
+        if ckpt is not None:
+            bf = ckpt / f"batch_{start:010d}.npz"
+            if bf.exists():
+                # resume: this batch is already on disk.  Drain the pipeline
+                # first so parts stay in cell order.
+                if pending is not None:
+                    _materialize(pending)
+                    pending = None
+                with np.load(bf) as z:
+                    res_parts.append(
+                        sp.csr_matrix((z["data"], z["indices"], z["indptr"]), shape=tuple(z["shape"]))
+                    )
+                    if calculate_gene_values:
+                        gene_parts.append(z["gene"])
+                continue
         raw = expr[start:stop]
         rows = stop - start
         pad = batch_cells - rows if (n_cells > batch_cells) else 0
@@ -409,8 +511,9 @@ def _infercnv_compute(
                 arr.copy_to_host_async()
         if pending is not None:
             _materialize(pending)
-        pending = (x_res, gene_res, rows)
-    _materialize(pending)
+        pending = (x_res, gene_res, rows, start)
+    if pending is not None:
+        _materialize(pending)
 
     res = sp.vstack(res_parts) if len(res_parts) > 1 else res_parts[0]
     per_gene = None
