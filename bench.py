@@ -174,10 +174,13 @@ def main():
         expr.sum_duplicates()
         return expr
 
-    def e2e(n_cells_e2e, density=0.05, device_densify=None):
+    def e2e(n_cells_e2e, density=0.05, device_densify=None, pipelined=False):
+        """stats mode (default) serializes every stage for exact attribution;
+        pipelined=True runs the real software pipeline (pack/H2D/compute/D2H
+        overlap) and reports only the wall total — the deliverable number."""
         expr = make_csr(n_cells_e2e, density)
         ref = np.asarray(expr[: min(2000, n_cells_e2e)].mean(axis=0), dtype=np.float64)
-        stats = {}
+        stats = None if pipelined else {}
         t0 = time.perf_counter()
         chr_pos, res, _ = _infercnv_compute(
             expr,
@@ -197,6 +200,18 @@ def main():
         )
         t_total = time.perf_counter() - t0
         assert res.shape == (n_cells_e2e, plan.n_windows)
+        if pipelined:
+            # the shapes were already compiled by the preceding stats run via
+            # the persistent cache; residual warmup is part of the total
+            out = {
+                "n_cells": n_cells_e2e,
+                "density": density,
+                "mode": "device_densify_pipelined",
+                "total_sec": float(f"{t_total:.4g}"),
+                "cells_per_sec": float(f"{n_cells_e2e / max(t_total, 1e-9):.4g}"),
+            }
+            del expr, res
+            return out
         compile_sec = stats.get("compile_sec", 0.0)
         run_sec = t_total - compile_sec
         h2d = stats.get("h2d_bytes", 0)
@@ -226,14 +241,19 @@ def main():
     t_e2e0 = time.perf_counter()
     e2e_results = [e2e(first)]
     note(f"e2e {first} (device_densify) done")
+    e2e_results.append(e2e(first, pipelined=True))
+    note(f"e2e {first} (pipelined) done")
     e2e_results.append(e2e(first, device_densify=False))
     note(f"e2e {first} (host pack) done")
-    for n_c in rest:
+    for i, n_c in enumerate(rest):
         if time.perf_counter() - t_e2e0 > E2E_BUDGET_SEC:
             e2e_results.append({"n_cells": n_c, "skipped": "e2e time budget exhausted"})
             continue
         e2e_results.append(e2e(n_c))
         note(f"e2e {n_c} done")
+        if i == 0:
+            e2e_results.append(e2e(n_c, pipelined=True))
+            note(f"e2e {n_c} (pipelined) done")
 
     ops = n_cells * plan.n_windows * window  # useful cell-gene-window MACs
     ops_per_sec = ops / dt
