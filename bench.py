@@ -239,21 +239,26 @@ def main():
     sizes_env = _os.environ.get("BENCH_E2E_SIZES")  # e.g. "1024,4096" for smoke runs
     first, *rest = [int(s) for s in sizes_env.split(",")] if sizes_env else [16384, 102400, 512000, 1024000]
     t_e2e0 = time.perf_counter()
-    e2e_results = [e2e(first)]
-    note(f"e2e {first} (device_densify) done")
-    e2e_results.append(e2e(first, pipelined=True))
-    note(f"e2e {first} (pipelined) done")
-    e2e_results.append(e2e(first, device_densify=False))
-    note(f"e2e {first} (host pack) done")
+
+    def e2e_guarded(n_c, label, **kw):
+        # one failing size must not cost the whole bench record
+        try:
+            e2e_results.append(e2e(n_c, **kw))
+        except Exception as exc:  # noqa: BLE001 - recorded, not swallowed
+            e2e_results.append({"n_cells": n_c, "error": f"{type(exc).__name__}: {exc}"[:300]})
+        note(f"e2e {label} done")
+
+    e2e_results = []
+    e2e_guarded(first, f"{first} (device_densify)")
+    e2e_guarded(first, f"{first} (pipelined)", pipelined=True)
+    e2e_guarded(first, f"{first} (host pack)", device_densify=False)
     for i, n_c in enumerate(rest):
         if time.perf_counter() - t_e2e0 > E2E_BUDGET_SEC:
             e2e_results.append({"n_cells": n_c, "skipped": "e2e time budget exhausted"})
             continue
-        e2e_results.append(e2e(n_c))
-        note(f"e2e {n_c} done")
+        e2e_guarded(n_c, str(n_c))
         if i == 0:
-            e2e_results.append(e2e(n_c, pipelined=True))
-            note(f"e2e {n_c} (pipelined) done")
+            e2e_guarded(n_c, f"{n_c} (pipelined)", pipelined=True)
 
     ops = n_cells * plan.n_windows * window  # useful cell-gene-window MACs
     ops_per_sec = ops / dt
