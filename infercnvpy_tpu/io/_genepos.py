@@ -61,26 +61,30 @@ def read_gtf(gtf_file, features: set[str] | None = None) -> pd.DataFrame:
 
 
 def _merge_into_var(adata, annot: pd.DataFrame, left_key: str | None, right_key: str, inplace: bool):
-    """Index-preserving left merge into adata.var (reference: io/_genepos.py:73-91,157-170)."""
-    tmp_var = adata.var.copy()
-    orig_index_name = tmp_var.index.name
-    TMP_INDEX_NAME = "adata_var_index"
-    tmp_var.index.name = TMP_INDEX_NAME
-    tmp_var.reset_index(inplace=True)
-    var_annotated = tmp_var.merge(
+    """Left-merge ``annot`` into ``adata.var``, preserving the var index.
+
+    A pandas merge discards the index, so the index is stashed as an interim
+    column for the join and restored afterwards (behavior equivalent to
+    reference io/_genepos.py:73-91,157-170, which does this twice inline).
+    """
+    stash = "__var_index__"
+    flat = adata.var.copy()
+    index_name = flat.index.name
+    flat.index.name = stash
+    merged = flat.reset_index().merge(
         annot,
         how="left",
-        left_on=TMP_INDEX_NAME if left_key is None else left_key,
+        left_on=stash if left_key is None else left_key,
         right_on=right_key,
         validate="one_to_one",
     )
-    var_annotated.set_index(TMP_INDEX_NAME, inplace=True)
-    var_annotated.index.name = orig_index_name
+    merged = merged.set_index(stash)
+    merged.index.name = index_name
 
     if inplace:
-        adata.var = var_annotated
+        adata.var = merged
         return None
-    return var_annotated
+    return merged
 
 
 def genomic_position_from_gtf(

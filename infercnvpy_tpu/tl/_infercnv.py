@@ -82,29 +82,33 @@ def infercnv(
         configuration.
     """
     del n_jobs
+    # validation: messages are observable API surface (reference tl/_infercnv.py:95-105)
     if adata.shape[0] == 0:
         raise ValueError("adata contains no cells — nothing to infer CNV from.")
     if not adata.var_names.is_unique:
         raise ValueError("Ensure your var_names are unique!")
-    if {"chromosome", "start", "end"} - set(adata.var.columns) != set():
+    if not {"chromosome", "start", "end"}.issubset(adata.var.columns):
         raise ValueError(
             "Genomic positions not found. There need to be `chromosome`, `start`, and `end` columns in `adata.var`. "
         )
 
-    var_mask = adata.var["chromosome"].isnull()
-    if np.sum(var_mask):
-        warn(f"Skipped {np.sum(var_mask)} genes because they don't have a genomic position annotated. ")
+    # gene selection: drop unannotated genes (warn) and excluded chromosomes
+    chrom = adata.var["chromosome"]
+    n_unannotated = int(chrom.isnull().sum())
+    if n_unannotated:
+        warn(f"Skipped {n_unannotated} genes because they don't have a genomic position annotated. ")
+    keep = chrom.notnull()
     if exclude_chromosomes is not None:
-        var_mask = var_mask | adata.var["chromosome"].isin(exclude_chromosomes)
-    keep = ~var_mask.values
+        keep &= ~chrom.isin(exclude_chromosomes)
+    keep = keep.values
 
     reference = _get_reference(adata, reference_key, reference_cat, reference, layer)[:, keep]
 
-    tmp_adata = adata[:, keep]
-    expr = tmp_adata.X if layer is None else tmp_adata.layers[layer]
+    sub = adata[:, keep]
+    expr = sub.X if layer is None else sub.layers[layer]
     if sp.issparse(expr):
         expr = expr.tocsr()
-    var = tmp_adata.var.loc[:, ["chromosome", "start", "end"]]
+    var = sub.var.loc[:, ["chromosome", "start", "end"]]
 
     from ..profiling import maybe_trace
 
@@ -551,17 +555,13 @@ def _get_reference(
             )
             reference = _mean0(X)
         else:
-            obs_col = adata.obs[reference_key]
-            if isinstance(reference_cat, str):
-                reference_cat = [reference_cat]
-            reference_cat = np.array(reference_cat)
-            reference_cat_in_obs = np.isin(reference_cat, obs_col)
-            if not np.all(reference_cat_in_obs):
-                raise ValueError(
-                    f"Categories {reference_cat[~reference_cat_in_obs]} do not occur "
-                    f"in `adata.obs[{reference_key!r}]`."
-                )
-            reference = np.vstack([_mean0(X[np.asarray(obs_col.values == cat), :]) for cat in reference_cat])
+            labels = np.asarray(adata.obs[reference_key].values)
+            cats = np.array([reference_cat] if isinstance(reference_cat, str) else list(reference_cat))
+            # error text is observable API surface (reference tl/_infercnv.py:388-392)
+            absent = cats[~np.isin(cats, labels)]
+            if absent.size:
+                raise ValueError(f"Categories {absent} do not occur in `adata.obs[{reference_key!r}]`.")
+            reference = np.vstack([_mean0(X[labels == cat, :]) for cat in cats])
 
     reference = np.asarray(reference)
     if reference.ndim == 1:
