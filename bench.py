@@ -201,8 +201,9 @@ def main():
         t_total = time.perf_counter() - t0
         assert res.shape == (n_cells_e2e, plan.n_windows)
         if pipelined:
-            # the shapes were already compiled by the preceding stats run via
-            # the persistent cache; residual warmup is part of the total
+            # warm by construction: the preceding stats run compiled the same
+            # executable into the driver's module-level AOT cache, so this
+            # measures the true overlapped pipeline (pack/H2D/compute/D2H)
             out = {
                 "n_cells": n_cells_e2e,
                 "density": density,

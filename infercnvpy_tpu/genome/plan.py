@@ -93,6 +93,29 @@ class WindowPlan:
         return int(len(self.conv_gather))
 
     @property
+    def cache_key(self) -> str:
+        """Stable content digest — lets jitted-transform builders memoize per plan.
+
+        Two plans built from identical (var, window_size, step) inputs hash
+        equal, so repeated ``tl.infercnv`` calls over the same genome reuse
+        one traced/compiled executable instead of recompiling (XLA compiles
+        cost tens of seconds on a remote TPU).
+        """
+        key = getattr(self, "_cache_key", None)
+        if key is None:
+            import hashlib
+
+            h = hashlib.sha256()
+            h.update(repr((self.window_size, self.step, self.n_windows, self.packed_len,
+                           tuple(self.chromosomes), tuple(self.chr_pos.items()))).encode())
+            for arr in (self.packed_src, self.conv_gather, self.small_src, self.small_seg,
+                        self.small_counts, self.final_src, self.used_genes,
+                        self.gene_win_lo, self.gene_win_hi):
+                h.update(np.ascontiguousarray(arr).tobytes())
+            key = self._cache_key = h.hexdigest()
+        return key
+
+    @property
     def n_small(self) -> int:
         return int(len(self.small_counts))
 

@@ -231,7 +231,42 @@ def _gene_values(smoothed, plan: WindowPlan, dtype):
     return jnp.where(lo[None, :] >= 0, vals, jnp.nan)
 
 
+#: memoized built transforms — reusing the SAME jit object across driver calls
+#: is what makes repeat runs warm (a fresh jit fn would retrace and recompile;
+#: each XLA compile costs tens of seconds through a remote-TPU tunnel)
+_BUILD_CACHE: dict = {}
+
+
 def build_infercnv_fn(
+    plan: WindowPlan,
+    *,
+    n_ref_rows: int,
+    lfc_clip: float,
+    dynamic_threshold: float | None,
+    num_chunks: int,
+    calculate_gene_values: bool = False,
+    dtype=jnp.float32,
+    smooth_mode: str = "fast",
+    row_tile: int | None = None,
+    axis_name: str | None = None,
+):
+    key = (
+        "dense", plan.cache_key, n_ref_rows, float(lfc_clip),
+        None if dynamic_threshold is None else float(dynamic_threshold),
+        num_chunks, calculate_gene_values, str(jnp.dtype(dtype)), smooth_mode, row_tile, axis_name,
+        jax.default_backend(),
+    )
+    fn = _BUILD_CACHE.get(key)
+    if fn is None:
+        fn = _BUILD_CACHE[key] = _build_infercnv_fn_uncached(
+            plan, n_ref_rows=n_ref_rows, lfc_clip=lfc_clip, dynamic_threshold=dynamic_threshold,
+            num_chunks=num_chunks, calculate_gene_values=calculate_gene_values, dtype=dtype,
+            smooth_mode=smooth_mode, row_tile=row_tile, axis_name=axis_name,
+        )
+    return fn
+
+
+def _build_infercnv_fn_uncached(
     plan: WindowPlan,
     *,
     n_ref_rows: int,

@@ -184,7 +184,7 @@ def _small_mean_matrix(plan: WindowPlan) -> np.ndarray:
     return out
 
 
-def _make_kernel(plan: WindowPlan, lfc_clip: float, n_ref: int, debug_skip: tuple = ()):
+def _make_kernel(plan: WindowPlan, lfc_clip: float, n_ref: int, debug_skip: tuple = (), debug_variants: tuple = ()):
     s = plan.step
     m = -(-plan.window_size // s)
     Q = plan.packed_len // s
@@ -354,7 +354,9 @@ def _make_kernel(plan: WindowPlan, lfc_clip: float, n_ref: int, debug_skip: tupl
                         his.append(jnp.max(b, axis=1))
                 hi0 = jnp.max(jnp.stack(his), axis=0)[:, None]
                 bounds = (lo0, hi0)
-            kh = _select_kth_multi(blocks, k_hi, bounds, n_valid=n_windows, mxu="mxu_count" in debug_skip)
+            # "mxu_count" is a VARIANT (alternative implementation), not a stage
+            # skip — it lives in debug_variants so enabling reads as enabling
+            kh = _select_kth_multi(blocks, k_hi, bounds, n_valid=n_windows, mxu="mxu_count" in debug_variants)
             v_hi = _key_to_float(kh)
             if odd:
                 med = v_hi
@@ -406,12 +408,12 @@ def _make_kernel(plan: WindowPlan, lfc_clip: float, n_ref: int, debug_skip: tupl
     return kernel
 
 
-@partial(jax.jit, static_argnames=("plan_key", "lfc_clip", "n_ref", "row_tile", "debug_skip"))
-def _fused_impl(x, ref2, plan_key, lfc_clip, n_ref, row_tile, debug_skip=()):
+@partial(jax.jit, static_argnames=("plan_key", "lfc_clip", "n_ref", "row_tile", "debug_skip", "debug_variants"))
+def _fused_impl(x, ref2, plan_key, lfc_clip, n_ref, row_tile, debug_skip=(), debug_variants=()):
     plan = plan_key.plan
     n, wt = x.shape
     pw = plan.n_windows
-    kernel = _make_kernel(plan, lfc_clip, n_ref, debug_skip)
+    kernel = _make_kernel(plan, lfc_clip, n_ref, debug_skip, debug_variants)
     operands = [x, ref2]
     in_specs = [
         pl.BlockSpec((row_tile, wt), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -482,7 +484,15 @@ class _PlanKey:
 
 
 def fused_center_smooth_median(
-    x, ref_min_max, plan: WindowPlan, *, lfc_clip: float, n_ref: int = 2, row_tile: int = 256, debug_skip: tuple = ()
+    x,
+    ref_min_max,
+    plan: WindowPlan,
+    *,
+    lfc_clip: float,
+    n_ref: int = 2,
+    row_tile: int = 256,
+    debug_skip: tuple = (),
+    debug_variants: tuple = (),
 ):
     """Run the fused kernel.
 
@@ -496,6 +506,7 @@ def fused_center_smooth_median(
     matrix is already in final chromosome order (pre noise gate).
     """
     out, stats = _fused_impl(
-        x, ref_min_max, _PlanKey(plan), float(lfc_clip), int(n_ref), int(row_tile), tuple(debug_skip)
+        x, ref_min_max, _PlanKey(plan), float(lfc_clip), int(n_ref), int(row_tile), tuple(debug_skip),
+        tuple(debug_variants)
     )
     return out, stats[:, 0], stats[:, 1], stats[:, 2]

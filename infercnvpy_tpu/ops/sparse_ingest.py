@@ -88,6 +88,11 @@ def coo_from_csr_batch(
     return cols, vals, counts, nnz
 
 
+#: memoized built transforms (same rationale as infercnv_kernel._BUILD_CACHE:
+#: a fresh jit object per driver call would recompile on every run)
+_BUILD_CACHE: dict = {}
+
+
 def build_sparse_infercnv_fn(
     plan: WindowPlan,
     *,
@@ -111,6 +116,15 @@ def build_sparse_infercnv_fn(
 
     if dtype is None:
         dtype = jnp.float32
+
+    key = (
+        plan.cache_key, n_rows, nnz_cap, n_ref_rows, float(lfc_clip),
+        None if dynamic_threshold is None else float(dynamic_threshold),
+        num_chunks, calculate_gene_values, str(jnp.dtype(dtype)), jax.default_backend(),
+    )
+    cached = _BUILD_CACHE.get(key)
+    if cached is not None:
+        return cached
     width = packed_width(plan)
     if n_rows * width >= (1 << 31):
         raise ValueError(
@@ -138,4 +152,5 @@ def build_sparse_infercnv_fn(
         dense = jnp.zeros((n_rows * width,), dtype).at[flat].add(vals.astype(dtype)).reshape(n_rows, width)
         return base(dense, ref, chunk_ids)
 
+    _BUILD_CACHE[key] = fn
     return fn

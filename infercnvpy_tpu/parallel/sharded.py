@@ -23,6 +23,34 @@ from .mesh import CELL_AXIS, cell_mesh, replicate, shard_cells
 __all__ = ["sharded_infercnv_fn", "run_sharded_infercnv"]
 
 
+#: memoized shard-mapped transforms (fresh jit objects would recompile per call)
+_BUILD_CACHE: dict = {}
+
+
+class _ShardedFn:
+    """Callable with the ``(x_res, gene_res)`` contract plus AOT hooks.
+
+    ``jitted`` is the underlying jit object (lowerable for ahead-of-time
+    compilation); ``wrap_out`` maps its raw output back to the public
+    two-tuple contract.  The driver's executable cache uses both.
+    """
+
+    def __init__(self, jitted, wrap_out):
+        self.jitted = jitted
+        self.wrap_out = wrap_out
+
+    def __call__(self, x, ref, chunk_ids):
+        return self.wrap_out(self.jitted(x, ref, chunk_ids))
+
+
+def _wrap_pair(out):
+    return out
+
+
+def _wrap_single(out):
+    return out, None
+
+
 def sharded_infercnv_fn(
     plan: WindowPlan,
     mesh=None,
@@ -46,6 +74,16 @@ def sharded_infercnv_fn(
     if dtype is None:
         dtype = jnp.float32
 
+    key = (
+        plan.cache_key, tuple(d.id for d in mesh.devices.flat), mesh.axis_names,
+        n_ref_rows, float(lfc_clip),
+        None if dynamic_threshold is None else float(dynamic_threshold),
+        num_chunks, calculate_gene_values, str(jnp.dtype(dtype)),
+    )
+    cached = _BUILD_CACHE.get(key)
+    if cached is not None:
+        return cached
+
     base = build_infercnv_fn(
         plan,
         n_ref_rows=n_ref_rows,
@@ -59,16 +97,14 @@ def sharded_infercnv_fn(
     in_specs = (P(CELL_AXIS), P(), P(CELL_AXIS))
     if calculate_gene_values:
         mapped = jax.shard_map(base, mesh=mesh, in_specs=in_specs, out_specs=(P(CELL_AXIS), P(CELL_AXIS)))
-        return jax.jit(mapped)
+        fn = _ShardedFn(jax.jit(mapped), _wrap_pair)
+    else:
+        mapped = jax.shard_map(
+            lambda x, ref, cid: base(x, ref, cid)[0], mesh=mesh, in_specs=in_specs, out_specs=P(CELL_AXIS)
+        )
+        fn = _ShardedFn(jax.jit(mapped), _wrap_single)
 
-    mapped = jax.shard_map(
-        lambda x, ref, cid: base(x, ref, cid)[0], mesh=mesh, in_specs=in_specs, out_specs=P(CELL_AXIS)
-    )
-    jitted = jax.jit(mapped)
-
-    def fn(x, ref, chunk_ids):
-        return jitted(x, ref, chunk_ids), None
-
+    _BUILD_CACHE[key] = fn
     return fn
 
 

@@ -49,6 +49,7 @@ def infercnv(
     mesh=None,
     device_densify: bool | None = None,
     checkpoint_dir=None,
+    progress=None,
 ):
     """Infer Copy Number Variation (CNV) by averaging gene expression over genomic regions.
 
@@ -80,6 +81,12 @@ def infercnv(
         from disk instead of recomputing; bit-identical results).  A
         fingerprint manifest refuses directories written by a different
         configuration.
+    progress
+        Per-batch progress reporting for long runs (the reference shows a
+        tqdm bar, reference: tl/_infercnv.py:131).  ``None`` (default) logs a
+        line per device batch at verbosity >= 2; ``True`` always prints to
+        stderr; ``False`` disables; a callable receives a dict with
+        ``cells_done / cells_total / elapsed_sec / cells_per_sec / eta_sec``.
     """
     del n_jobs
     # validation: messages are observable API surface (reference tl/_infercnv.py:95-105)
@@ -128,6 +135,7 @@ def infercnv(
             mesh=mesh,
             device_densify=device_densify,
             checkpoint_dir=checkpoint_dir,
+            progress=progress,
         )
 
     if calculate_gene_values:
@@ -172,6 +180,39 @@ def _pick_dtype(expr, dtype):
 #: {"n_devices": int, "sharded": bool}
 _LAST_RUN_INFO: dict = {}
 
+#: module-level AOT executable cache: (id(jitted), arg signature) -> compiled.
+#: The jitted transforms themselves are memoized module-level by their
+#: builders, so their ids are stable for the process lifetime.
+_EXEC_CACHE: dict = {}
+
+
+def _identity(out):
+    return out
+
+
+def _compiled_executable(f, args):
+    """Return ``(compiled, wrap_out, compile_sec)`` for transform ``f``.
+
+    ``f`` is either a jit object or a wrapper exposing ``.jitted`` /
+    ``.wrap_out`` (see :class:`..parallel.sharded._ShardedFn`).  The compiled
+    executable is cached per argument signature; ``compile_sec`` is nonzero
+    only on a cache miss.
+    """
+    import time as _time
+
+    jitted = getattr(f, "jitted", f)
+    wrap = getattr(f, "wrap_out", _identity)
+    sig = tuple((tuple(a.shape), str(a.dtype)) for a in args)
+    key = (id(jitted), sig)
+    compiled = _EXEC_CACHE.get(key)
+    compile_sec = 0.0
+    if compiled is None:
+        t0 = _time.perf_counter()
+        compiled = jitted.lower(*args).compile()
+        compile_sec = _time.perf_counter() - t0
+        _EXEC_CACHE[key] = compiled
+    return compiled, wrap, compile_sec
+
 
 def _ckpt_fingerprint(
     expr, var, reference, n_cells, n_genes, window_size, step, lfc_clip, dynamic_threshold,
@@ -179,9 +220,12 @@ def _ckpt_fingerprint(
 ) -> str:
     """Configuration hash guarding checkpoint reuse (any mismatch = new run).
 
-    The expression matrix enters via shape/dtype/nnz and its element sum — a
-    one-pass O(nnz) summary rather than a full content hash, so fingerprinting
-    a 1M-cell input costs a fraction of a batch compute.
+    The expression matrix enters via shape/dtype plus ROW-STRUCTURED one-pass
+    summaries — the CSR indptr (or per-row dense sums) and the value sum of
+    every ``batch_cells`` slice — so reordering cells, or swapping values
+    between cells in different batches, changes the fingerprint even though
+    the global element sum is invariant.  Sums accumulate in float64 without
+    materializing a float64 copy (O(1) extra memory).
     """
     import hashlib
 
@@ -192,11 +236,24 @@ def _ckpt_fingerprint(
         chunksize, bool(calculate_gene_values), batch_cells, str(np.dtype(cdtype)),
     ):
         h.update(repr(item).encode())
+    batch_bounds = list(range(0, n_cells, batch_cells)) + [n_cells]
     if sp.issparse(expr):
-        h.update(repr((str(expr.dtype), int(expr.nnz), float(expr.data.astype(np.float64).sum()))).encode())
+        x = expr.tocsr()
+        ptr = x.indptr
+        batch_sums = [
+            float(x.data[ptr[s] : ptr[e]].sum(dtype=np.float64))
+            for s, e in zip(batch_bounds[:-1], batch_bounds[1:])
+        ]
+        h.update(repr((str(x.dtype), int(x.nnz), batch_sums)).encode())
+        h.update(np.ascontiguousarray(ptr).tobytes())
     else:
-        e = np.asarray(expr)
-        h.update(repr((str(e.dtype), float(e.astype(np.float64).sum()))).encode())
+        e_arr = np.asarray(expr)
+        batch_sums = [
+            float(np.sum(e_arr[s:e], dtype=np.float64)) for s, e in zip(batch_bounds[:-1], batch_bounds[1:])
+        ]
+        row_sums = np.asarray(e_arr.sum(axis=1, dtype=np.float64))
+        h.update(repr((str(e_arr.dtype), batch_sums)).encode())
+        h.update(np.ascontiguousarray(row_sums).tobytes())
     h.update(np.ascontiguousarray(np.asarray(reference, dtype=np.float64)).tobytes())
     h.update(",".join(var["chromosome"].astype(str)).encode())
     h.update(np.ascontiguousarray(var["start"].to_numpy(np.int64)).tobytes())
@@ -221,6 +278,7 @@ def _infercnv_compute(
     stats: dict | None = None,
     num_chunk_segments: int | None = None,
     checkpoint_dir=None,
+    progress=False,
 ):
     """Run the full pipeline; returns (chr_pos, csr result, used-gene matrix or None).
 
@@ -282,33 +340,49 @@ def _infercnv_compute(
     use_sparse = device_densify is not False and sp.issparse(expr) and not use_mesh
     if device_densify and use_mesh:
         warn("device_densify is not supported with a multi-device mesh; using the host packer")
+    data_sh = repl_sh = the_mesh = None
     if use_mesh:
         from ..parallel.mesh import cell_mesh, replicate, shard_cells
-        from ..parallel.sharded import sharded_infercnv_fn
 
         the_mesh = mesh if mesh is not None else cell_mesh()
         n_dev = int(the_mesh.devices.size)
-        fn = sharded_infercnv_fn(
-            plan,
-            the_mesh,
-            n_ref_rows=reference.shape[0],
-            lfc_clip=lfc_clip,
-            dynamic_threshold=dynamic_threshold,
-            num_chunks=num_chunks,
-            calculate_gene_values=calculate_gene_values,
-            dtype=cdtype,
-        )
         data_sh, repl_sh = shard_cells(the_mesh), replicate(the_mesh)
-    elif not use_sparse:
-        fn = build_infercnv_fn(
-            plan,
-            n_ref_rows=reference.shape[0],
-            lfc_clip=lfc_clip,
-            dynamic_threshold=dynamic_threshold,
-            num_chunks=num_chunks,
-            calculate_gene_values=calculate_gene_values,
-            dtype=cdtype,
-        )
+
+    # transform construction is LAZY: a run whose every batch resumes from a
+    # complete checkpoint never builds (let alone compiles) a kernel
+    _fn_cache: list = []
+
+    def _get_fn():
+        if not _fn_cache:
+            if use_mesh:
+                from ..parallel.sharded import sharded_infercnv_fn
+
+                _fn_cache.append(
+                    sharded_infercnv_fn(
+                        plan,
+                        the_mesh,
+                        n_ref_rows=reference.shape[0],
+                        lfc_clip=lfc_clip,
+                        dynamic_threshold=dynamic_threshold,
+                        num_chunks=num_chunks,
+                        calculate_gene_values=calculate_gene_values,
+                        dtype=cdtype,
+                    )
+                )
+            else:
+                _fn_cache.append(
+                    build_infercnv_fn(
+                        plan,
+                        n_ref_rows=reference.shape[0],
+                        lfc_clip=lfc_clip,
+                        dynamic_threshold=dynamic_threshold,
+                        num_chunks=num_chunks,
+                        calculate_gene_values=calculate_gene_values,
+                        dtype=cdtype,
+                    )
+                )
+        return _fn_cache[0]
+
     _LAST_RUN_INFO.clear()
     _LAST_RUN_INFO.update({"n_devices": n_dev, "sharded": use_mesh, "device_densify": use_sparse})
 
@@ -381,44 +455,42 @@ def _infercnv_compute(
             _os.replace(tmp, bf)
         _tock("csr_sec", t0)
 
-    sparse_fn_cache: dict = {}
-    compiled_cache: dict = {}
-
     def _get_sparse_fn(cap, rows_padded):
         from ..ops.sparse_ingest import build_sparse_infercnv_fn
 
-        key = (cap, rows_padded)
-        if key not in sparse_fn_cache:
-            sparse_fn_cache[key] = build_sparse_infercnv_fn(
-                plan,
-                n_rows=rows_padded,
-                nnz_cap=cap,
-                n_ref_rows=reference.shape[0],
-                lfc_clip=lfc_clip,
-                dynamic_threshold=dynamic_threshold,
-                num_chunks=num_chunks,
-                calculate_gene_values=calculate_gene_values,
-                dtype=cdtype,
-            )
-        return sparse_fn_cache[key]
+        # the builder memoizes module-level, so this is cheap on every call
+        return build_sparse_infercnv_fn(
+            plan,
+            n_rows=rows_padded,
+            nnz_cap=cap,
+            n_ref_rows=reference.shape[0],
+            lfc_clip=lfc_clip,
+            dynamic_threshold=dynamic_threshold,
+            num_chunks=num_chunks,
+            calculate_gene_values=calculate_gene_values,
+            dtype=cdtype,
+        )
 
     def _run(f, *args):
-        """Call ``f``; with stats enabled, AOT-compile once (timed separately)
-        and block so compute time is attributed to this stage."""
-        if not timing:
-            return f(*args)
-        key = id(f)
-        if key not in compiled_cache:
-            if hasattr(f, "lower"):
-                t0 = _time.perf_counter()
-                compiled_cache[key] = f.lower(*args).compile()
-                stats["compile_sec"] = stats.get("compile_sec", 0.0) + (_time.perf_counter() - t0)
-            else:
-                compiled_cache[key] = f
-        t0 = _time.perf_counter()
-        out = compiled_cache[key](*args)
-        jax.block_until_ready([o for o in out if o is not None])
-        stats["compute_sec"] = stats.get("compute_sec", 0.0) + (_time.perf_counter() - t0)
+        """Dispatch ``f`` through the module-level executable cache.
+
+        Every call — timing or not — goes through ONE ahead-of-time-compiled
+        executable per (transform, argument signature), shared across driver
+        invocations in this process.  That guarantees a run following a
+        stats/warmup run with the same configuration is warm (the round-4
+        bench showed the jit path recompiling after the AOT stats path had
+        already compiled the same program).  With stats enabled, compilation
+        is timed separately and the call blocks so compute time is attributed
+        exactly.
+        """
+        compiled, wrap, compile_sec = _compiled_executable(f, args)
+        if timing and compile_sec:
+            stats["compile_sec"] = stats.get("compile_sec", 0.0) + compile_sec
+        t0 = _time.perf_counter() if timing else 0.0
+        out = wrap(compiled(*args))
+        if timing:
+            jax.block_until_ready([o for o in out if o is not None])
+            stats["compute_sec"] = stats.get("compute_sec", 0.0) + (_time.perf_counter() - t0)
         return out
 
     if timing:
@@ -436,30 +508,9 @@ def _infercnv_compute(
         ]
         shared_cap = round_nnz_cap(max(batch_nnz))
 
-    # software pipeline: while the device computes batch k, the host packs
-    # batch k+1 and drains batch k-1 (async device->host copy) — packing,
-    # transfers, and compute all overlap (the TPU analogue of the reference's
-    # worker pool keeping all cores busy, reference: tl/_infercnv.py:120-137).
-    # With stats enabled every stage blocks, so the breakdown is exact and the
-    # total is an upper bound on the pipelined time.
-    pending = None
-    for start in range(0, n_cells, batch_cells):
+    def _prepare(start):
+        """Host half of one batch: pack + enqueue the device transfer."""
         stop = min(start + batch_cells, n_cells)
-        if ckpt is not None:
-            bf = ckpt / f"batch_{start:010d}.npz"
-            if bf.exists():
-                # resume: this batch is already on disk.  Drain the pipeline
-                # first so parts stay in cell order.
-                if pending is not None:
-                    _materialize(pending)
-                    pending = None
-                with np.load(bf) as z:
-                    res_parts.append(
-                        sp.csr_matrix((z["data"], z["indices"], z["indptr"]), shape=tuple(z["shape"]))
-                    )
-                    if calculate_gene_values:
-                        gene_parts.append(z["gene"])
-                continue
         raw = expr[start:stop]
         rows = stop - start
         pad = batch_cells - rows if (n_cells > batch_cells) else 0
@@ -468,6 +519,7 @@ def _infercnv_compute(
         rows_padded = rows + pad
 
         t0 = _tick()
+        cap = None
         if use_sparse:
             from ..ops.sparse_ingest import coo_from_csr_batch, round_nnz_cap
 
@@ -504,20 +556,109 @@ def _infercnv_compute(
             jax.block_until_ready(operands)
             stats["h2d_bytes"] = stats.get("h2d_bytes", 0) + h2d_bytes
         _tock("h2d_sec", t0)
+        return operands, chunk_ids, rows, rows_padded, cap
 
-        if use_sparse:
-            cols_d, vals_d, counts_d = operands
-            x_res, gene_res = _run(_get_sparse_fn(cap, rows_padded), cols_d, vals_d, counts_d, ref_dev, chunk_ids)
+    t_run0 = _time.perf_counter()
+
+    def _progress(done):
+        if progress is False:
+            return
+        elapsed = _time.perf_counter() - t_run0
+        rate = done / max(elapsed, 1e-9)
+        if callable(progress):
+            progress({
+                "cells_done": done, "cells_total": n_cells, "elapsed_sec": elapsed,
+                "cells_per_sec": rate, "eta_sec": (n_cells - done) / max(rate, 1e-9),
+            })
         else:
-            x_res, gene_res = _run(fn, operands[0], ref_dev, chunk_ids)
-        for arr in (x_res, gene_res):
-            if arr is not None and hasattr(arr, "copy_to_host_async"):
-                arr.copy_to_host_async()
+            # reference ships a tqdm bar on the chunk map (reference:
+            # tl/_infercnv.py:131); here a verbosity-gated line per batch
+            msg = (
+                f"infercnv: {done:,}/{n_cells:,} cells "
+                f"({rate:,.0f} cells/s, ETA {(n_cells - done) / max(rate, 1e-9):.0f}s)"
+            )
+            if progress is True:
+                import sys as _sys
+
+                print(msg, file=_sys.stderr, flush=True)
+            else:
+                from .._util import info
+
+                info(msg)
+
+    # software pipeline: while the device computes batch k, a single worker
+    # thread packs batch k+1 and enqueues its transfer, and the main thread
+    # drains batch k-1 (async device->host copy) — packing, transfers, and
+    # compute all overlap (the TPU analogue of the reference's worker pool
+    # keeping all cores busy, reference: tl/_infercnv.py:120-137).  The
+    # worker thread matters on backends where `device_put` blocks the calling
+    # thread until bytes are on the device (remote/tunneled TPU).  With stats
+    # enabled the pipeline is serialized instead, so the per-stage breakdown
+    # is exact and the total is an upper bound on the pipelined wall time.
+    starts = list(range(0, n_cells, batch_cells))
+    resumed = set()
+    if ckpt is not None:
+        resumed = {s for s in starts if (ckpt / f"batch_{s:010d}.npz").exists()}
+    compute_starts = [s for s in starts if s not in resumed]
+
+    use_prefetch = not timing and len(compute_starts) > 1
+    pool = None
+    futures: dict = {}
+    if use_prefetch:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="infercnv-h2d")
+        futures[compute_starts[0]] = pool.submit(_prepare, compute_starts[0])
+    next_prefetch = 1
+
+    try:
+        pending = None
+        done_cells = 0
+        for start in starts:
+            stop = min(start + batch_cells, n_cells)
+            if start in resumed:
+                # resume: this batch is already on disk.  Drain the pipeline
+                # first so parts stay in cell order.
+                if pending is not None:
+                    _materialize(pending)
+                    pending = None
+                with np.load(ckpt / f"batch_{start:010d}.npz") as z:
+                    res_parts.append(
+                        sp.csr_matrix((z["data"], z["indices"], z["indptr"]), shape=tuple(z["shape"]))
+                    )
+                    if calculate_gene_values:
+                        gene_parts.append(z["gene"])
+                done_cells += stop - start
+                continue
+            if use_prefetch:
+                operands, chunk_ids, rows, rows_padded, cap = futures.pop(start).result()
+                if next_prefetch < len(compute_starts):
+                    nxt = compute_starts[next_prefetch]
+                    futures[nxt] = pool.submit(_prepare, nxt)
+                    next_prefetch += 1
+            else:
+                operands, chunk_ids, rows, rows_padded, cap = _prepare(start)
+
+            if use_sparse:
+                cols_d, vals_d, counts_d = operands
+                x_res, gene_res = _run(
+                    _get_sparse_fn(cap, rows_padded), cols_d, vals_d, counts_d, ref_dev, chunk_ids
+                )
+            else:
+                x_res, gene_res = _run(_get_fn(), operands[0], ref_dev, chunk_ids)
+            for arr in (x_res, gene_res):
+                if arr is not None and hasattr(arr, "copy_to_host_async"):
+                    arr.copy_to_host_async()
+            if pending is not None:
+                _materialize(pending)
+            pending = (x_res, gene_res, rows, start)
+            done_cells += stop - start
+            _progress(done_cells)
         if pending is not None:
             _materialize(pending)
-        pending = (x_res, gene_res, rows, start)
-    if pending is not None:
-        _materialize(pending)
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False, cancel_futures=True)
 
     res = sp.vstack(res_parts) if len(res_parts) > 1 else res_parts[0]
     per_gene = None

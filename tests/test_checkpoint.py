@@ -44,17 +44,26 @@ def test_checkpoint_matches_plain_run(adata, tmp_path):
     assert sum(f.startswith("batch_") and f.endswith(".npz") for f in files) == 3  # 48/16 batches
 
 
-def test_resume_loads_without_compute(adata, tmp_path, monkeypatch):
-    _, first, _ = _run(adata, checkpoint_dir=tmp_path / "ck")
+@pytest.mark.parametrize("fmt", [None, sp.csr_matrix])
+@pytest.mark.parametrize("mesh", [None, False])
+def test_resume_loads_without_compute(tmp_path, monkeypatch, fmt, mesh):
+    adata = synthetic_cnv_dataset(n_cells=48, n_genes=400, seed=3, sparse_format=fmt)
+    _, first, _ = _run(adata, checkpoint_dir=tmp_path / "ck", mesh=mesh)
 
-    # with every batch on disk, a resumed run must never build a kernel
+    # with every batch on disk, a resumed run must never build a kernel —
+    # construction is lazy, so block EVERY builder entry point (dense, mesh,
+    # and device-densify sparse) regardless of which path the input routes to
+    import infercnvpy_tpu.ops.sparse_ingest as sparse_mod
+    import infercnvpy_tpu.parallel.sharded as sharded_mod
     import infercnvpy_tpu.tl._infercnv as mod
 
     def boom(*a, **k):  # pragma: no cover - would indicate a failure
         raise AssertionError("compute path entered despite complete checkpoint")
 
     monkeypatch.setattr(mod, "build_infercnv_fn", boom)
-    _, resumed, _ = _run(adata, checkpoint_dir=tmp_path / "ck")
+    monkeypatch.setattr(sharded_mod, "sharded_infercnv_fn", boom)
+    monkeypatch.setattr(sparse_mod, "build_sparse_infercnv_fn", boom)
+    _, resumed, _ = _run(adata, checkpoint_dir=tmp_path / "ck", mesh=mesh)
     npt.assert_array_equal(first, resumed)
 
 

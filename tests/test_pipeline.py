@@ -1,0 +1,119 @@
+"""Driver pipeline behavior: warm re-runs, prefetch overlap, progress.
+
+Round-4 regression background: the bench's "pipelined" e2e mode was 2.6x
+SLOWER than the serialized stats mode because each `_infercnv_compute` call
+built fresh jit objects and recompiled.  The fix memoizes the built
+transforms module-level and dispatches every call through one AOT-compiled
+executable per (transform, signature) — these tests pin that contract.
+"""
+
+import numpy as np
+import numpy.testing as npt
+import pandas as pd
+import pytest
+import scipy.sparse as sp
+
+from infercnvpy_tpu.tl._infercnv import _EXEC_CACHE, _infercnv_compute
+
+
+def _toy(n_cells=96, n_genes=600, seed=0):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for c in range(4):
+        starts = np.sort(rng.integers(1, 2**27, size=n_genes // 4))
+        rows += [(f"chr{c + 1}", int(s)) for s in starts]
+    var = pd.DataFrame(rows, columns=["chromosome", "start"])
+    var["end"] = var["start"] + 1000
+    expr = sp.random(n_cells, n_genes, density=0.08, format="csr", dtype=np.float32, random_state=seed)
+    ref = np.asarray(expr[: n_cells // 4].mean(axis=0), dtype=np.float64)
+    return expr, var, ref
+
+
+KW = dict(
+    lfc_clip=3.0,
+    window_size=50,
+    step=10,
+    dynamic_threshold=1.5,
+    chunksize=16,
+    calculate_gene_values=False,
+    batch_cells=32,
+    dtype=np.float32,
+)
+
+
+def test_repeat_run_hits_executable_cache():
+    """A second identical run must reuse compiled executables, not rebuild."""
+    expr, var, ref = _toy()
+    stats = {}
+    _, r1, _ = _infercnv_compute(expr, var, ref, stats=stats, mesh=False, device_densify=True, **KW)
+    n_exec = len(_EXEC_CACHE)
+    _, r2, _ = _infercnv_compute(expr, var, ref, mesh=False, device_densify=True, **KW)
+    assert len(_EXEC_CACHE) == n_exec, "pipelined re-run recompiled despite identical config"
+    assert (r1 != r2).nnz == 0
+
+    # the builders are memoized too: same config -> same jit object
+    from infercnvpy_tpu.genome.plan import build_window_plan
+    from infercnvpy_tpu.ops.infercnv_kernel import build_infercnv_fn
+
+    plan = build_window_plan(var, 50, 10)
+    kw = dict(n_ref_rows=1, lfc_clip=3.0, dynamic_threshold=1.5, num_chunks=6)
+    assert build_infercnv_fn(plan, **kw) is build_infercnv_fn(plan, **kw)
+    plan2 = build_window_plan(var, 50, 10)
+    assert plan.cache_key == plan2.cache_key
+    assert build_infercnv_fn(plan2, **kw) is build_infercnv_fn(plan, **kw)
+
+
+@pytest.mark.parametrize("mesh_opt", [False, None])
+def test_prefetch_matches_serialized(mesh_opt):
+    """The threaded prefetch path (stats=None, multiple batches) must be
+    bit-identical to the serialized stats path."""
+    expr, var, ref = _toy(n_cells=128, seed=2)
+    stats = {}
+    _, serialized, _ = _infercnv_compute(expr, var, ref, stats=stats, mesh=mesh_opt, **KW)
+    _, pipelined, _ = _infercnv_compute(expr, var, ref, mesh=mesh_opt, **KW)
+    npt.assert_array_equal(np.asarray(serialized.todense()), np.asarray(pipelined.todense()))
+
+
+def test_progress_callback_per_batch():
+    expr, var, ref = _toy(n_cells=96)
+    events = []
+    _infercnv_compute(expr, var, ref, mesh=False, progress=events.append, **KW)
+    assert len(events) == 3  # 96 cells / 32 batch_cells
+    assert [e["cells_done"] for e in events] == [32, 64, 96]
+    assert all(e["cells_total"] == 96 for e in events)
+    assert events[-1]["eta_sec"] == pytest.approx(0.0, abs=1e-6)
+    assert all(e["cells_per_sec"] > 0 for e in events)
+
+
+def test_progress_stderr_line(capsys):
+    expr, var, ref = _toy(n_cells=64)
+    _infercnv_compute(expr, var, ref, mesh=False, progress=True, **KW)
+    err = capsys.readouterr().err
+    assert "infercnv: 64/96" not in err  # sanity: totals match this dataset
+    assert "infercnv: 64/64 cells" in err
+
+
+def test_fingerprint_detects_row_permutation(tmp_path):
+    """Round-4 advisor (medium): permuting cells must invalidate a checkpoint."""
+    from infercnvpy_tpu.tl._infercnv import _ckpt_fingerprint
+
+    expr, var, ref = _toy(n_cells=64)
+    perm = np.random.default_rng(0).permutation(64)
+    # make sure the permutation actually moves rows across batch boundaries
+    assert (perm[:32] != np.arange(32)).any()
+    args = dict(
+        n_cells=64, n_genes=expr.shape[1], window_size=50, step=10, lfc_clip=3.0,
+        dynamic_threshold=1.5, chunksize=16, calculate_gene_values=False,
+        batch_cells=32, cdtype=np.float32,
+    )
+    fp1 = _ckpt_fingerprint(expr, var, ref, **args)
+    fp2 = _ckpt_fingerprint(expr[perm], var, ref, **args)
+    assert fp1 != fp2
+
+    dense = np.asarray(expr.todense())
+    fp3 = _ckpt_fingerprint(dense, var, ref, **args)
+    fp4 = _ckpt_fingerprint(dense[perm], var, ref, **args)
+    assert fp3 != fp4
+    # same data -> same fingerprint (stability)
+    assert fp1 == _ckpt_fingerprint(expr.copy(), var, ref, **args)
+    assert fp3 == _ckpt_fingerprint(dense.copy(), var, ref, **args)
