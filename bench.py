@@ -174,7 +174,7 @@ def main():
         expr.sum_duplicates()
         return expr
 
-    def e2e(n_cells_e2e, density=0.05, device_densify=None, pipelined=False):
+    def e2e(n_cells_e2e, density=0.05, device_densify=None, pipelined=False, transfer_dtype=None):
         """stats mode (default) serializes every stage for exact attribution;
         pipelined=True runs the real software pipeline (pack/H2D/compute/D2H
         overlap) and reports only the wall total — the deliverable number."""
@@ -197,6 +197,7 @@ def main():
             device_densify=device_densify,
             stats=stats,
             num_chunk_segments=256,  # shared capacity -> one executable for all sizes
+            transfer_dtype=transfer_dtype,
         )
         t_total = time.perf_counter() - t0
         assert res.shape == (n_cells_e2e, plan.n_windows)
@@ -207,7 +208,7 @@ def main():
             out = {
                 "n_cells": n_cells_e2e,
                 "density": density,
-                "mode": "device_densify_pipelined",
+                "mode": "device_densify_pipelined" + ("_bf16" if transfer_dtype else ""),
                 "total_sec": float(f"{t_total:.4g}"),
                 "cells_per_sec": float(f"{n_cells_e2e / max(t_total, 1e-9):.4g}"),
             }
@@ -219,7 +220,7 @@ def main():
         out = {
             "n_cells": n_cells_e2e,
             "density": density,
-            "mode": stats.get("mode"),
+            "mode": stats.get("mode") + ("_bf16" if stats.get("transfer_dtype") else ""),
             "total_sec": float(f"{run_sec:.4g}"),
             "cells_per_sec": float(f"{n_cells_e2e / max(run_sec, 1e-9):.4g}"),
             "compile_sec": float(f"{compile_sec:.4g}"),
@@ -260,6 +261,11 @@ def main():
         e2e_guarded(n_c, str(n_c))
         if i == 0:
             e2e_guarded(n_c, f"{n_c} (pipelined)", pipelined=True)
+            # opt-in reduced-precision transfer: ~half the value bytes
+            # through the H2D bottleneck (stats run shows the byte cut,
+            # pipelined run shows the wall-clock effect)
+            e2e_guarded(n_c, f"{n_c} (bf16 stats)", transfer_dtype="bfloat16")
+            e2e_guarded(n_c, f"{n_c} (bf16 pipelined)", pipelined=True, transfer_dtype="bfloat16")
 
     ops = n_cells * plan.n_windows * window  # useful cell-gene-window MACs
     ops_per_sec = ops / dt

@@ -40,6 +40,56 @@ def _project(block, V):
     return np.asarray(jnp.asarray(block) @ V)
 
 
+# --- mesh-sharded building blocks (BASELINE configs 4-5: distributed PCA
+# over the cell axis; SURVEY §2.4 "distributed PCA/kNN") ------------------
+
+_SHARDED_CACHE: dict = {}
+
+
+def _mesh_key(mesh):
+    return (tuple(d.id for d in mesh.devices.flat), mesh.axis_names)
+
+
+def _sharded_gram_fn(mesh):
+    """jit(shard_map): rows sharded over the cell axis -> psum'd Gram (d×d)."""
+    key = ("gram", _mesh_key(mesh))
+    if key not in _SHARDED_CACHE:
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import CELL_AXIS
+
+        def f(x):
+            return jax.lax.psum(x.T @ x, CELL_AXIS)
+
+        _SHARDED_CACHE[key] = jax.jit(
+            jax.shard_map(f, mesh=mesh, in_specs=P(CELL_AXIS), out_specs=P())
+        )
+    return _SHARDED_CACHE[key]
+
+
+def _sharded_project_fn(mesh):
+    """jit(shard_map): row-sharded X @ replicated V -> row-sharded scores."""
+    key = ("project", _mesh_key(mesh))
+    if key not in _SHARDED_CACHE:
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import CELL_AXIS
+
+        _SHARDED_CACHE[key] = jax.jit(
+            jax.shard_map(
+                lambda x, v: x @ v, mesh=mesh, in_specs=(P(CELL_AXIS), P()), out_specs=P(CELL_AXIS)
+            )
+        )
+    return _SHARDED_CACHE[key]
+
+
+def _pad_rows(b: np.ndarray, mult: int) -> np.ndarray:
+    pad = (-b.shape[0]) % mult
+    if pad:
+        b = np.concatenate([b, np.zeros((pad, b.shape[1]), b.dtype)], axis=0)
+    return b
+
+
 def truncated_svd(
     X,
     n_comps: int,
@@ -49,6 +99,7 @@ def truncated_svd(
     dtype=np.float32,
     sign_convention: bool = True,
     high_precision: bool | None = None,
+    mesh=None,
 ):
     """Top-``n_comps`` principal scores of X (cells × features).
 
@@ -62,27 +113,48 @@ def truncated_svd(
         supports them, otherwise f64 host (BLAS) accumulation — exact for
         ill-conditioned inputs where the f32 Gram loses the tail components
         (singular values spanning ≳1e3).
+    mesh
+        A 1-D ``jax.sharding.Mesh`` over the cell axis: each row block is
+        sharded across the mesh, every device accumulates the Gram of ITS
+        rows, and one ``psum`` over ICI combines them — the distributed
+        replacement for the reference's single-process ARPACK call
+        (reference: tl/__init__.py:66-71; BASELINE configs 4-5).  Zero-row
+        padding never changes the Gram, so results are device-count
+        independent up to f32 summation order.  Ignored by the host-BLAS
+        high-precision fallback (no-x64 backends).
     """
     n, d = X.shape
     n_comps = int(min(n_comps, min(n, d)))
     x64 = jax.config.read("jax_enable_x64")
     use_hp = x64 if high_precision is None else bool(high_precision)
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    use_mesh = mesh is not None and n_dev > 1 and not (use_hp and not x64)
 
     def _blocks():
         for start in range(0, n, block_rows):
             blk = X[start : start + block_rows]
             yield start, blk.toarray() if sp.issparse(blk) else np.asarray(blk)
 
+    def _device_gram(blk, acc_dtype):
+        """One block's Gram on device: sharded psum on a mesh, else plain."""
+        if use_mesh:
+            from ..parallel.mesh import shard_cells
+
+            b = jax.device_put(_pad_rows(blk.astype(acc_dtype, copy=False), n_dev), shard_cells(mesh))
+            return np.asarray(_sharded_gram_fn(mesh)(b), dtype=np.float64)
+        return np.asarray(
+            jnp.asarray(blk.astype(acc_dtype, copy=False)).T @ jnp.asarray(blk.astype(acc_dtype, copy=False)),
+            dtype=np.float64,
+        )
+
     s64 = np.zeros(d, dtype=np.float64)
     if use_hp and x64:
         # float64 on device (CPU / x64-enabled backends)
-        G = jnp.zeros((d, d), dtype=jnp.float64)
+        G64 = np.zeros((d, d), dtype=np.float64)
         for _, blk in _blocks():
-            b = jnp.asarray(blk.astype(np.float64, copy=False))
-            G = _gram_accum(G, b)
+            G64 += _device_gram(blk, np.float64)
             if zero_center:
                 s64 += np.asarray(blk, dtype=np.float64).sum(axis=0)
-        G64 = np.asarray(G, dtype=np.float64)
     elif use_hp:
         # backend has no f64 (TPU): exact f64 accumulation on the host
         G64 = np.zeros((d, d), dtype=np.float64)
@@ -91,6 +163,13 @@ def truncated_svd(
             G64 += b64.T @ b64
             if zero_center:
                 s64 += b64.sum(axis=0)
+    elif use_mesh:
+        # f32 device matmuls, Gram partials psum'd over the mesh, f64 host sum
+        G64 = np.zeros((d, d), dtype=np.float64)
+        for _, blk in _blocks():
+            G64 += _device_gram(blk, dtype)
+            if zero_center:
+                s64 += np.sum(blk, axis=0, dtype=np.float64)
     else:
         G = jnp.zeros((d, d), dtype=jnp.float32)
         s = jnp.zeros((d,), dtype=jnp.float32)
@@ -116,12 +195,21 @@ def truncated_svd(
     mu_np = (s64 / n) if zero_center else None
     out_dtype = np.float64 if use_hp else np.float32
     scores = np.empty((n, n_comps), dtype=out_dtype)
+
+    def _project_mesh(b, V):
+        from ..parallel.mesh import shard_cells
+
+        rows = b.shape[0]
+        bd = jax.device_put(_pad_rows(b, n_dev), shard_cells(mesh))
+        return np.asarray(_sharded_project_fn(mesh)(bd, jnp.asarray(V)))[:rows]
+
     for start, blk in _blocks():
         if use_hp and x64:
             b = blk.astype(np.float64, copy=False)
             if zero_center:
                 b = b - mu_np
-            scores[start : start + blk.shape[0]] = _project(b, jnp.asarray(V64))
+            proj = _project_mesh(b, V64) if use_mesh else _project(b, jnp.asarray(V64))
+            scores[start : start + blk.shape[0]] = proj
         elif use_hp:
             b64 = np.asarray(blk, dtype=np.float64)
             if zero_center:
@@ -131,7 +219,9 @@ def truncated_svd(
             b = blk.astype(np.float32, copy=False)
             if zero_center:
                 b = b - mu_np.astype(np.float32)
-            scores[start : start + blk.shape[0]] = _project(b, jnp.asarray(V64.astype(np.float32)))
+            V32 = V64.astype(np.float32)
+            proj = _project_mesh(b, V32) if use_mesh else _project(b, jnp.asarray(V32))
+            scores[start : start + blk.shape[0]] = proj
 
     V_np = V64.astype(out_dtype)
     if sign_convention:

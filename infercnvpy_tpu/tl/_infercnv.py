@@ -50,6 +50,7 @@ def infercnv(
     device_densify: bool | None = None,
     checkpoint_dir=None,
     progress=None,
+    transfer_dtype: str | None = None,
 ):
     """Infer Copy Number Variation (CNV) by averaging gene expression over genomic regions.
 
@@ -87,6 +88,14 @@ def infercnv(
         line per device batch at verbosity >= 2; ``True`` always prints to
         stderr; ``False`` disables; a callable receives a dict with
         ``cells_done / cells_total / elapsed_sec / cells_per_sec / eta_sec``.
+    transfer_dtype
+        Opt-in reduced-precision host→device transfer (``"bfloat16"`` or
+        ``"float16"``): expression values ship at half the bytes and are
+        upcast to the compute dtype on device.  On tunneled/remote TPU
+        backends the transfer IS the e2e bottleneck (see docs/roofline.md),
+        so halving bytes buys wall time directly.  ``None`` (default) ships
+        full precision — bit-exact parity with the reference.  Only the
+        input expression is reduced; all compute stays in the compute dtype.
     """
     del n_jobs
     # validation: messages are observable API surface (reference tl/_infercnv.py:95-105)
@@ -136,6 +145,7 @@ def infercnv(
             device_densify=device_densify,
             checkpoint_dir=checkpoint_dir,
             progress=progress,
+            transfer_dtype=transfer_dtype,
         )
 
     if calculate_gene_values:
@@ -154,6 +164,20 @@ def infercnv(
             adata.layers[f"gene_values_{key_added}"] = per_gene_mtx
         return None
     return chr_pos, res, per_gene_mtx
+
+
+def _transfer_np_dtype(transfer_dtype):
+    """Resolve the opt-in reduced-precision transfer dtype (None = full)."""
+    if transfer_dtype is None:
+        return None
+    if str(transfer_dtype) in ("bf16", "bfloat16"):
+        import ml_dtypes  # ships with jax
+
+        return np.dtype(ml_dtypes.bfloat16)
+    dt = np.dtype(transfer_dtype)
+    if dt.kind != "f":
+        raise ValueError(f"transfer_dtype must be a float dtype, got {transfer_dtype!r}")
+    return dt
 
 
 def _pick_dtype(expr, dtype):
@@ -216,7 +240,7 @@ def _compiled_executable(f, args):
 
 def _ckpt_fingerprint(
     expr, var, reference, n_cells, n_genes, window_size, step, lfc_clip, dynamic_threshold,
-    chunksize, calculate_gene_values, batch_cells, cdtype,
+    chunksize, calculate_gene_values, batch_cells, cdtype, transfer_dtype=None,
 ) -> str:
     """Configuration hash guarding checkpoint reuse (any mismatch = new run).
 
@@ -234,6 +258,7 @@ def _ckpt_fingerprint(
         n_cells, n_genes, window_size, step, float(lfc_clip),
         None if dynamic_threshold is None else float(dynamic_threshold),
         chunksize, bool(calculate_gene_values), batch_cells, str(np.dtype(cdtype)),
+        None if transfer_dtype is None else str(transfer_dtype),
     ):
         h.update(repr(item).encode())
     batch_bounds = list(range(0, n_cells, batch_cells)) + [n_cells]
@@ -279,6 +304,7 @@ def _infercnv_compute(
     num_chunk_segments: int | None = None,
     checkpoint_dir=None,
     progress=False,
+    transfer_dtype=None,
 ):
     """Run the full pipeline; returns (chr_pos, csr result, used-gene matrix or None).
 
@@ -315,6 +341,7 @@ def _infercnv_compute(
         raise ValueError("No usable chromosomes found (need `chr*` prefixed chromosome annotations).")
 
     cdtype = _pick_dtype(expr, dtype)
+    tdt = _transfer_np_dtype(transfer_dtype)
     num_chunks = max(1, -(-n_cells // chunksize))
     if num_chunk_segments is not None:
         if num_chunk_segments < num_chunks:
@@ -395,7 +422,7 @@ def _infercnv_compute(
         ckpt.mkdir(parents=True, exist_ok=True)
         fp = _ckpt_fingerprint(
             expr, var, reference, n_cells, n_genes, window_size, step, lfc_clip, dynamic_threshold,
-            chunksize, calculate_gene_values, batch_cells, cdtype,
+            chunksize, calculate_gene_values, batch_cells, cdtype, tdt,
         )
         manifest = ckpt / "manifest.json"
         if manifest.exists():
@@ -495,6 +522,8 @@ def _infercnv_compute(
 
     if timing:
         stats["mode"] = "device_densify" if use_sparse else ("mesh" if use_mesh else "host_pack")
+        if tdt is not None:
+            stats["transfer_dtype"] = str(tdt)
 
     # one nnz capacity for ALL batches of this run (the per-batch maximum,
     # bucket-rounded) so every batch hits the same compiled executable
@@ -524,7 +553,9 @@ def _infercnv_compute(
             from ..ops.sparse_ingest import coo_from_csr_batch, round_nnz_cap
 
             cap = shared_cap if shared_cap is not None else round_nnz_cap(raw.nnz)
-            cols, vals, counts, _nnz = coo_from_csr_batch(raw, lut, width, cap, val_dtype=np.dtype(cdtype))
+            cols, vals, counts, _nnz = coo_from_csr_batch(
+                raw, lut, width, cap, val_dtype=tdt if tdt is not None else np.dtype(cdtype)
+            )
             if pad:
                 counts = np.concatenate([counts, np.zeros(pad, np.int32)])
             operands = (cols, vals, counts)
@@ -534,6 +565,10 @@ def _infercnv_compute(
                 block = pack_csr(raw, plan, lut, dtype=cdtype)
             else:
                 block = pack_columns(_ensure_array(np.asarray(raw)), plan, lut, dtype=cdtype)
+            if tdt is not None:
+                # reduced-precision transfer: cast after the (native) pack;
+                # the device upcasts back to the compute dtype
+                block = block.astype(tdt)
             if pad:
                 block = np.vstack([block, np.zeros((pad, width), dtype=block.dtype)])
             operands = (block,)

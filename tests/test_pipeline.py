@@ -93,6 +93,45 @@ def test_progress_stderr_line(capsys):
     assert "infercnv: 64/64 cells" in err
 
 
+@pytest.mark.parametrize("mode", ["sparse", "dense"])
+def test_bf16_transfer_error_bound(mode):
+    """Opt-in bf16 transfer halves shipped bytes; output error stays within
+    the bf16 input-rounding bound (|x*2^-8| per element, smoothed)."""
+    expr, var, ref = _toy(n_cells=128, seed=5)
+    kw = dict(KW, dynamic_threshold=None)  # gate off: compare continuous values
+    if mode == "dense":
+        expr = np.asarray(expr.todense())
+    s32, sbf = {}, {}
+    _, full, _ = _infercnv_compute(expr, var, ref, stats=s32, mesh=False, device_densify=True, **kw)
+    _, red, _ = _infercnv_compute(
+        expr, var, ref, stats=sbf, mesh=False, device_densify=True, transfer_dtype="bfloat16", **kw
+    )
+    full = np.asarray(full.todense())
+    red = np.asarray(red.todense())
+    scale = np.abs(full).max()
+    assert np.abs(red - full).max() <= 0.01 * scale + 1e-4
+    # the value payload halves; index/count arrays are unchanged
+    assert sbf["h2d_bytes"] < s32["h2d_bytes"]
+    if mode == "dense":
+        assert sbf["h2d_bytes"] <= 0.55 * s32["h2d_bytes"]
+    assert sbf.get("transfer_dtype") == "bfloat16"
+
+
+def test_bf16_transfer_in_checkpoint_fingerprint(tmp_path):
+    """transfer_dtype changes numerics, so it must invalidate a checkpoint."""
+    from infercnvpy_tpu.tl._infercnv import _ckpt_fingerprint
+
+    expr, var, ref = _toy(n_cells=64)
+    args = dict(
+        n_cells=64, n_genes=expr.shape[1], window_size=50, step=10, lfc_clip=3.0,
+        dynamic_threshold=1.5, chunksize=16, calculate_gene_values=False,
+        batch_cells=32, cdtype=np.float32,
+    )
+    assert _ckpt_fingerprint(expr, var, ref, **args) != _ckpt_fingerprint(
+        expr, var, ref, transfer_dtype="bfloat16", **args
+    )
+
+
 def test_fingerprint_detects_row_permutation(tmp_path):
     """Round-4 advisor (medium): permuting cells must invalidate a checkpoint."""
     from infercnvpy_tpu.tl._infercnv import _ckpt_fingerprint
