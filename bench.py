@@ -267,6 +267,18 @@ def main():
             e2e_guarded(n_c, f"{n_c} (bf16 stats)", transfer_dtype="bfloat16")
             e2e_guarded(n_c, f"{n_c} (bf16 pipelined)", pipelined=True, transfer_dtype="bfloat16")
 
+    # on-device Pallas-vs-XLA parity for the gene back-projection kernel
+    # (the CPU suite runs it in interpret mode; this closes that gap every
+    # bench session — see tools/check_gene_parity.py)
+    try:
+        sys.path.insert(0, __file__.rsplit("/", 1)[0] + "/tools")
+        from check_gene_parity import run_check
+
+        gene_parity = run_check(n_cells=512, n_genes=8000)
+    except Exception as exc:  # noqa: BLE001 - recorded, not swallowed
+        gene_parity = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+    note("gene parity checked")
+
     ops = n_cells * plan.n_windows * window  # useful cell-gene-window MACs
     ops_per_sec = ops / dt
     result = {
@@ -286,6 +298,7 @@ def main():
             "effective_gbps": float(f"{n_cells * n_genes * 4 / dt / 1e9:.4g}"),
             "gene_values_sec_per_call": float(f"{gene_dt:.6g}"),
             "gene_values_slowdown": float(f"{gene_dt / dt:.3g}"),
+            "gene_parity": gene_parity,
             "end_to_end_csr": e2e_results,
         },
     }
