@@ -10,11 +10,14 @@ Namespace layout mirrors the reference (reference: src/infercnvpy/__init__.py:5-
 ``io`` / ``pp`` / ``tl`` / ``pl`` / ``datasets``.
 """
 
-from . import datasets, io, pl, pp, tl  # noqa: E402
+from . import datasets, io, parallel, pl, pp, tl  # noqa: E402
 from .core import AnnData, read_h5ad  # noqa: E402
 from . import profiling, settings  # noqa: E402
 
 settings._auto_enable_compilation_cache()
 
-__all__ = ["datasets", "io", "pl", "pp", "tl", "AnnData", "read_h5ad", "settings", "profiling"]
+__all__ = [
+    "datasets", "io", "parallel", "pl", "pp", "tl",
+    "AnnData", "read_h5ad", "settings", "profiling",
+]
 __version__ = "0.1.0"
