@@ -37,14 +37,92 @@ def _pearson_rows_split(hi, lo):
     return jnp.clip(g, -1.0, 1.0)
 
 
-def pearson_rows(X):
-    """Correlation matrix of the rows of X (np.corrcoef semantics)."""
+_SHARDED_CACHE: dict = {}
+
+
+def _sharded_stripe_fn(mesh, x64: bool):
+    """shard_map'd correlation stripe: sharded rows × replicated full matrix.
+
+    Each device computes its (n/n_dev × n) stripe of the correlation matrix
+    — the O(n²·d) matmul FLOPs distribute over the mesh; the result gathers
+    row-sharded (SURVEY §2.4 distributed-downstream direction).
+    """
+    key = (tuple(d.id for d in mesh.devices.flat), mesh.axis_names, x64)
+    if key not in _SHARDED_CACHE:
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import CELL_AXIS
+
+        C = P(CELL_AXIS)
+        if x64:
+
+            def f(xs, xf):
+                return jnp.clip(xs @ xf.T, -1.0, 1.0)
+
+            mapped = jax.shard_map(f, mesh=mesh, in_specs=(C, P()), out_specs=C)
+        else:
+
+            def f(hs, ls, hf, lf):
+                Pr = jax.lax.Precision.HIGHEST
+                g = (
+                    jnp.dot(hs, hf.T, precision=Pr)
+                    + jnp.dot(hs, lf.T, precision=Pr)
+                    + jnp.dot(ls, hf.T, precision=Pr)
+                )
+                return jnp.clip(g, -1.0, 1.0)
+
+            mapped = jax.shard_map(f, mesh=mesh, in_specs=(C, C, P(), P()), out_specs=C)
+        _SHARDED_CACHE[key] = jax.jit(mapped)
+    return _SHARDED_CACHE[key]
+
+
+def _pad_rows(a: np.ndarray, mult: int) -> np.ndarray:
+    pad = (-a.shape[0]) % mult
+    if pad:
+        a = np.concatenate([a, np.zeros((pad, a.shape[1]), a.dtype)], axis=0)
+    return a
+
+
+def pearson_rows(X, mesh=None):
+    """Correlation matrix of the rows of X (np.corrcoef semantics).
+
+    ``mesh`` (1-D cell mesh) shards the row axis of the Gram: every device
+    multiplies its row shard against the replicated standardized matrix, so
+    the quadratic matmul cost splits across devices.  Standardization is
+    identical to the single-device path, hence equal results up to matmul
+    tiling order.
+    """
     X = np.asarray(X, dtype=np.float64)
-    if jax.config.read("jax_enable_x64"):
+    n = X.shape[0]
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    use_mesh = mesh is not None and n_dev > 1
+    x64 = jax.config.read("jax_enable_x64")
+
+    if x64 and not use_mesh:
         return _pearson_rows_f64(jnp.asarray(X))
-    # standardize in f64 host-side, then double-f32 split for the device Gram
+
+    # standardize in f64 host-side (shared by the split and sharded paths)
     Xc = X - X.mean(axis=1, keepdims=True)
     Xn = Xc / np.sqrt(np.sum(Xc * Xc, axis=1, keepdims=True))
+
+    if use_mesh:
+        from ..parallel.mesh import replicate, shard_cells
+
+        data_sh, repl_sh = shard_cells(mesh), replicate(mesh)
+        fn = _sharded_stripe_fn(mesh, x64)
+        if x64:
+            xs = jax.device_put(_pad_rows(Xn, n_dev), data_sh)
+            xf = jax.device_put(Xn, repl_sh)
+            return np.asarray(fn(xs, xf))[:n]
+        hi = Xn.astype(np.float32)
+        lo = (Xn - hi).astype(np.float32)
+        hs = jax.device_put(_pad_rows(hi, n_dev), data_sh)
+        ls = jax.device_put(_pad_rows(lo, n_dev), data_sh)
+        hf = jax.device_put(hi, repl_sh)
+        lf = jax.device_put(lo, repl_sh)
+        return np.asarray(fn(hs, ls, hf, lf))[:n]
+
+    # double-f32 split for the single-device no-x64 (TPU) Gram
     hi = Xn.astype(np.float32)
     lo = (Xn - hi).astype(np.float32)
     return _pearson_rows_split(jnp.asarray(hi), jnp.asarray(lo))

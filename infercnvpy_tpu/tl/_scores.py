@@ -142,17 +142,17 @@ def cnv_score(
     return cluster_score
 
 
-def _pearson_corr(X: np.ndarray) -> np.ndarray:
+def _pearson_corr(X: np.ndarray, mesh=None) -> np.ndarray:
     """Pairwise Pearson correlation of rows (np.corrcoef semantics)."""
     X = np.asarray(X, dtype=np.float64)
-    if X.shape[0] * X.shape[1] >= _JAX_MIN_ELEMENTS:
+    if mesh is not None or X.shape[0] * X.shape[1] >= _JAX_MIN_ELEMENTS:
         from ..ops.corr import pearson_rows
 
-        return np.asarray(pearson_rows(X))
+        return np.asarray(pearson_rows(X, mesh=mesh))
     return np.corrcoef(X, rowvar=True)
 
 
-def _ith_score(adata, groupby: str, get_matrix) -> dict:
+def _ith_score(adata, groupby: str, get_matrix, mesh=None) -> dict:
     groups = adata.obs[groupby].unique()
     out = {}
     for group in groups:
@@ -162,7 +162,7 @@ def _ith_score(adata, groupby: str, get_matrix) -> dict:
             X = np.asarray(X.todense())
         if X.shape[0] <= 1:
             continue
-        pcorr = _pearson_corr(X)
+        pcorr = _pearson_corr(X, mesh=mesh)
         q75, q25 = np.percentile(pcorr, [75, 25])
         out[group] = q75 - q25
     return out
@@ -176,12 +176,17 @@ def ithgex(
     layer: str | None = None,
     inplace: bool = True,
     key_added: str = "ithgex",
+    mesh=None,
 ) -> Mapping[str, float] | None:
     """ITHGEX diversity score based on gene expression (Wu2021).
 
-    Reference: tl/_scores.py:77-151.
+    Reference: tl/_scores.py:77-151.  ``mesh`` shards each group's
+    correlation-matrix matmul over the cell mesh (see
+    :func:`infercnvpy_tpu.ops.corr.pearson_rows`).
     """
-    scores = _ith_score(adata, groupby, lambda mask: _choose_mtx_rep(adata[mask, :], use_raw, layer))
+    scores = _ith_score(
+        adata, groupby, lambda mask: _choose_mtx_rep(adata[mask, :], use_raw, layer), mesh=mesh
+    )
     return _store_scores(adata, groupby, scores, key_added) if inplace else scores
 
 
@@ -192,12 +197,13 @@ def ithcna(
     use_rep: str = "X_cnv",
     key_added: str = "ithcna",
     inplace: bool = True,
+    mesh=None,
 ) -> Mapping[str, float] | None:
     """ITHCNA diversity score based on copy number variation (Wu2021).
 
-    Reference: tl/_scores.py:154-221.
+    Reference: tl/_scores.py:154-221.  ``mesh`` as in :func:`ithgex`.
     """
-    scores = _ith_score(adata, groupby, lambda mask: adata.obsm[use_rep][mask, :])
+    scores = _ith_score(adata, groupby, lambda mask: adata.obsm[use_rep][mask, :], mesh=mesh)
     return _store_scores(adata, groupby, scores, key_added) if inplace else scores
 
 

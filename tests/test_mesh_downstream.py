@@ -96,6 +96,35 @@ def test_cnv_score_mesh_blocked(mesh8):
     npt.assert_allclose(got, want, rtol=1e-5)
 
 
+def test_ith_scores_mesh_match_host(mesh8):
+    """ithcna/ithgex on the mesh reproduce the host np.corrcoef path."""
+    from infercnvpy_tpu.datasets import synthetic_cnv_dataset
+    from infercnvpy_tpu import tl
+
+    adata = synthetic_cnv_dataset(n_cells=70, n_genes=120, seed=9)
+    tl.infercnv(adata, reference_key="cell_type",
+                reference_cat=["Microglia/Macrophage", "Oligodendrocytes (non-malignant)"])
+    adata.obs["grp"] = [f"g{i % 3}" for i in range(adata.shape[0])]
+    host_cna = tl.ithcna(adata, "grp", inplace=False)
+    mesh_cna = tl.ithcna(adata, "grp", inplace=False, mesh=mesh8)
+    host_gex = tl.ithgex(adata, "grp", inplace=False)
+    mesh_gex = tl.ithgex(adata, "grp", inplace=False, mesh=mesh8)
+    for h, m in ((host_cna, mesh_cna), (host_gex, mesh_gex)):
+        assert set(h) == set(m)
+        for g in h:
+            npt.assert_allclose(m[g], h[g], rtol=1e-9, atol=1e-12)
+
+
+def test_pearson_rows_mesh_matches_numpy(mesh8):
+    from infercnvpy_tpu.ops.corr import pearson_rows
+
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(37, 25))
+    want = np.corrcoef(X, rowvar=True)
+    got = np.asarray(pearson_rows(X, mesh=mesh8))
+    npt.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
 def test_pca_neighbors_mesh_passthrough(mesh8):
     """tl.pca / pp.neighbors forward mesh= to the sharded ops."""
     from infercnvpy_tpu.datasets import synthetic_cnv_dataset

@@ -117,6 +117,21 @@ def test_bf16_transfer_error_bound(mode):
     assert sbf.get("transfer_dtype") == "bfloat16"
 
 
+def test_bf16_transfer_on_mesh():
+    """Reduced-precision transfer composes with the sharded (mesh) path."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    expr, var, ref = _toy(n_cells=128, seed=6)
+    kw = dict(KW, dynamic_threshold=None)
+    _, full, _ = _infercnv_compute(expr, var, ref, mesh=None, **kw)
+    _, red, _ = _infercnv_compute(expr, var, ref, mesh=None, transfer_dtype="bfloat16", **kw)
+    full = np.asarray(full.todense())
+    red = np.asarray(red.todense())
+    assert np.abs(red - full).max() <= 0.01 * np.abs(full).max() + 1e-4
+
+
 def test_bf16_transfer_in_checkpoint_fingerprint(tmp_path):
     """transfer_dtype changes numerics, so it must invalidate a checkpoint."""
     from infercnvpy_tpu.tl._infercnv import _ckpt_fingerprint
