@@ -17,7 +17,10 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["native_leiden", "native_available", "native_pack_csr", "native_pack_dense", "native_pack_available"]
+__all__ = [
+    "native_leiden", "native_available", "native_pack_csr", "native_pack_dense",
+    "native_pack_available", "native_coo_remap", "native_dense_to_csr",
+]
 
 _SRC_DIR = Path(__file__).parent
 _LIB = None
@@ -131,6 +134,15 @@ def _load_pack():
         lib.pack_dense_f32.argtypes = [_F32P, ctypes.c_int64, ctypes.c_int64, _I64P, ctypes.c_int64, _F32P]
         lib.pack_dense_f64.restype = None
         lib.pack_dense_f64.argtypes = [_F64P, ctypes.c_int64, ctypes.c_int64, _I64P, ctypes.c_int64, _F64P]
+        lib.coo_remap_f32.restype = ctypes.c_int64
+        lib.coo_remap_f32.argtypes = [
+            _I64P, _I32P, _F32P, ctypes.c_int64, _I64P, ctypes.c_int64, _I64P,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32, _I32P,
+        ]
+        lib.dense_nnz_rows_f32.restype = None
+        lib.dense_nnz_rows_f32.argtypes = [_F32P, ctypes.c_int64, ctypes.c_int64, _I64P]
+        lib.dense_fill_csr_f32.restype = None
+        lib.dense_fill_csr_f32.argtypes = [_F32P, ctypes.c_int64, ctypes.c_int64, _I64P, _I32P, _F32P]
         _PACK_LIB = lib
     except OSError:
         _PACK_LIB = None
@@ -177,6 +189,94 @@ def native_pack_csr(indptr, indices, data, lut, out_width: int, dtype) -> np.nda
         out.ctypes.data_as(fp),
     )
     return out
+
+
+def native_coo_remap(indptr, indices, data, lut, cap: int, col_dtype, val_dtype):
+    """CSR batch -> compact remapped (cols, vals, counts, nnz); None if no lib.
+
+    ``cols``/``vals`` come back as length-``cap`` arrays with entries
+    ``[0, nnz)`` filled; the caller pads the tail (pad col / zero val).
+    ``val_dtype`` float32 or bfloat16 (conversion fused into the write pass).
+    """
+    lib = _load_pack()
+    if lib is None:
+        return None
+    col_dtype = np.dtype(col_dtype)
+    val_dtype = np.dtype(val_dtype)
+    if col_dtype not in (np.int16, np.int32):
+        return None
+    if val_dtype == np.float32:
+        vals_mode = 0
+    elif val_dtype.name == "bfloat16":
+        vals_mode = 1
+    else:
+        return None
+    if np.dtype(data.dtype) != np.float32:
+        return None
+    n_rows = len(indptr) - 1
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    data = np.ascontiguousarray(data, dtype=np.float32)
+    lut = np.ascontiguousarray(lut, dtype=np.int64)
+    if len(indices) and int(indices.max()) >= len(lut):
+        raise IndexError(f"coo_remap: column index {int(indices.max())} out of range for lut of length {len(lut)}")
+    cols = np.empty(cap, dtype=col_dtype)
+    vals = np.empty(cap, dtype=np.uint16 if vals_mode == 1 else np.float32)
+    counts = np.empty(n_rows, dtype=np.int32)
+    offsets = np.empty(n_rows + 1, dtype=np.int64)
+    nnz = lib.coo_remap_f32(
+        indptr.ctypes.data_as(_I64P),
+        indices.ctypes.data_as(_I32P),
+        data.ctypes.data_as(_F32P),
+        ctypes.c_int64(n_rows),
+        lut.ctypes.data_as(_I64P),
+        ctypes.c_int64(cap),
+        offsets.ctypes.data_as(_I64P),
+        cols.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int32(1 if col_dtype == np.int16 else 0),
+        vals.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int32(vals_mode),
+        counts.ctypes.data_as(_I32P),
+    )
+    if nnz < 0:
+        raise ValueError(f"nnz_cap {cap} too small for batch with {-nnz} kept nonzeros")
+    if vals_mode == 1:
+        vals = vals.view(val_dtype)
+    return cols, vals, counts, int(nnz)
+
+
+def native_dense_to_csr(arr) -> tuple | None:
+    """Dense f32 (rows x cols) -> (data, indices, indptr); None if no lib."""
+    lib = _load_pack()
+    if lib is None:
+        return None
+    arr = np.ascontiguousarray(arr)
+    if arr.dtype != np.float32 or arr.ndim != 2:
+        return None
+    n_rows, n_cols = arr.shape
+    row_nnz = np.empty(n_rows, dtype=np.int64)
+    lib.dense_nnz_rows_f32(
+        arr.ctypes.data_as(_F32P), ctypes.c_int64(n_rows), ctypes.c_int64(n_cols),
+        row_nnz.ctypes.data_as(_I64P),
+    )
+    indptr = np.empty(n_rows + 1, dtype=np.int64)
+    indptr[0] = 0
+    np.cumsum(row_nnz, out=indptr[1:])
+    nnz = int(indptr[-1])
+    indices = np.empty(nnz, dtype=np.int32)
+    data = np.empty(nnz, dtype=np.float32)
+    lib.dense_fill_csr_f32(
+        arr.ctypes.data_as(_F32P), ctypes.c_int64(n_rows), ctypes.c_int64(n_cols),
+        indptr.ctypes.data_as(_I64P), indices.ctypes.data_as(_I32P),
+        data.ctypes.data_as(_F32P),
+    )
+    # scipy requires indptr and indices to share ONE index dtype (mixed
+    # dtypes make its C routines misread memory); int32 covers any batch
+    if nnz < 2**31 - 1:
+        indptr = indptr.astype(np.int32)
+    else:  # pragma: no cover - >2^31 nnz in one block
+        indices = indices.astype(np.int64)
+    return data, indices, indptr
 
 
 def native_pack_dense(src, lut, out_width: int, dtype) -> np.ndarray | None:

@@ -64,6 +64,23 @@ def coo_from_csr_batch(
     """
     x = x.tocsr()
     n_rows = x.shape[0]
+
+    # native one-pass remap+compact (OpenMP over rows; bf16 conversion fused
+    # into the write pass) — numpy fallback below when the lib is unavailable
+    if np.dtype(x.data.dtype) == np.float32:
+        from ..native import native_coo_remap
+
+        cdt_n = col_index_dtype(width)
+        cap_n = nnz_cap if nnz_cap is not None else int(x.nnz)
+        res = native_coo_remap(x.indptr, x.indices, x.data, lut, cap_n, cdt_n, np.dtype(val_dtype))
+        if res is not None:
+            cols, vals, counts, nnz = res
+            cols[nnz:] = width - 1
+            vals[nnz:] = 0
+            if nnz_cap is None:
+                cols, vals = cols[:nnz], vals[:nnz]
+            return cols, vals, counts, nnz
+
     new_cols = lut[x.indices]
     row_nnz = np.diff(x.indptr)
     keep = new_cols >= 0

@@ -214,6 +214,19 @@ def _identity(out):
     return out
 
 
+def _dense_to_csr(x_np: np.ndarray) -> sp.csr_matrix:
+    """CSR-ify a dense result block (native two-pass OpenMP scan when built;
+    the scipy constructor scans single-threaded)."""
+    if x_np.dtype == np.float32:
+        from ..native import native_dense_to_csr
+
+        trip = native_dense_to_csr(x_np)
+        if trip is not None:
+            data, indices, indptr = trip
+            return sp.csr_matrix((data, indices, indptr), shape=x_np.shape)
+    return sp.csr_matrix(x_np)
+
+
 def _compiled_executable(f, args):
     """Return ``(compiled, wrap_out, compile_sec)`` for transform ``f``.
 
@@ -462,7 +475,7 @@ def _infercnv_compute(
         g_np = np.asarray(gene_res)[:rows] if calculate_gene_values else None
         _tock("d2h_sec", t0)
         t0 = _tick()
-        mat = sp.csr_matrix(x_np)
+        mat = _dense_to_csr(x_np)
         res_parts.append(mat)
         if calculate_gene_values:
             gene_parts.append(g_np)
