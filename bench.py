@@ -211,6 +211,7 @@ def main():
                 "mode": "device_densify_pipelined" + ("_bf16" if transfer_dtype else ""),
                 "total_sec": float(f"{t_total:.4g}"),
                 "cells_per_sec": float(f"{n_cells_e2e / max(t_total, 1e-9):.4g}"),
+                "peak_host_rss_gb": float(f"{resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6:.3g}"),
             }
             del expr, res
             return out
@@ -258,6 +259,12 @@ def main():
         if time.perf_counter() - t_e2e0 > E2E_BUDGET_SEC:
             e2e_results.append({"n_cells": n_c, "skipped": "e2e time budget exhausted"})
             continue
+        if n_c >= 512000:
+            # large sizes run the production path only — the serialized
+            # stats mode would roughly double their wall time and the
+            # stage attribution already exists at the smaller sizes
+            e2e_guarded(n_c, f"{n_c} (pipelined)", pipelined=True)
+            continue
         e2e_guarded(n_c, str(n_c))
         if i == 0:
             e2e_guarded(n_c, f"{n_c} (pipelined)", pipelined=True)
@@ -279,6 +286,12 @@ def main():
         gene_parity = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     note("gene parity checked")
 
+    # the e2e DELIVERABLE is the pipelined production path at the largest
+    # size that ran it (stats-mode entries exist for attribution, not as the
+    # headline — they serialize the pipeline)
+    pipelined = [e for e in e2e_results if "pipelined" in str(e.get("mode", "")) and "cells_per_sec" in e]
+    e2e_headline = max(pipelined, key=lambda e: e["n_cells"], default=None)
+
     ops = n_cells * plan.n_windows * window  # useful cell-gene-window MACs
     ops_per_sec = ops / dt
     result = {
@@ -299,6 +312,7 @@ def main():
             "gene_values_sec_per_call": float(f"{gene_dt:.6g}"),
             "gene_values_slowdown": float(f"{gene_dt / dt:.3g}"),
             "gene_parity": gene_parity,
+            "e2e_headline": e2e_headline,
             "end_to_end_csr": e2e_results,
         },
     }
