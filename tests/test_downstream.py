@@ -159,6 +159,28 @@ def test_tsne_separates_blobs(blobs):
     assert _blob_separation(emb, labels) > 2.0
 
 
+def test_umap_tsne_trustworthiness(blobs):
+    """Quantitative embedding quality: sklearn's trustworthiness metric
+    (fraction of local neighborhoods preserved, 0.5 ~ random, 1.0 perfect)
+    — a real quality bar that runs in this environment, unlike the
+    umap-learn/scanpy differentials that importorskip away here."""
+    from sklearn.manifold import trustworthiness
+
+    X, labels = blobs
+    dists, idxs = exact_knn(X, 15)
+    conn = fuzzy_connectivities(dists, idxs)
+    emb_u = umap_layout(conn, n_epochs=200, seed=0)
+    emb_t = tsne_embed(X, n_iter=400, perplexity=20, seed=0)
+    rng = np.random.default_rng(0)
+    emb_rand = rng.normal(size=(X.shape[0], 2))
+    t_u = trustworthiness(X, emb_u, n_neighbors=12)
+    t_t = trustworthiness(X, emb_t, n_neighbors=12)
+    t_r = trustworthiness(X, emb_rand, n_neighbors=12)
+    assert t_u > 0.90, f"umap trustworthiness {t_u:.3f}"
+    assert t_t > 0.90, f"tsne trustworthiness {t_t:.3f}"
+    assert t_r < 0.75  # sanity: the bar actually separates random layouts
+
+
 def test_tsne_max_cells_guard():
     """Oversized t-SNE inputs get a clear error with guidance instead of an
     hours-long O(n^2) run; max_cells=None overrides."""
