@@ -258,11 +258,10 @@ def _ckpt_fingerprint(
     """Configuration hash guarding checkpoint reuse (any mismatch = new run).
 
     The expression matrix enters via shape/dtype plus ROW-STRUCTURED one-pass
-    summaries — the CSR indptr (or per-row dense sums) and the value sum of
-    every ``batch_cells`` slice — so reordering cells, or swapping values
-    between cells in different batches, changes the fingerprint even though
-    the global element sum is invariant.  Sums accumulate in float64 without
-    materializing a float64 copy (O(1) extra memory).
+    summaries — the CSR indptr and per-row value sums (dense likewise) — so
+    reordering cells, or swapping values between cells anywhere, changes the
+    fingerprint even though the global element sum is invariant.  Sums
+    accumulate in float64 without materializing a float64 copy of the data.
     """
     import hashlib
 
@@ -274,24 +273,24 @@ def _ckpt_fingerprint(
         None if transfer_dtype is None else str(transfer_dtype),
     ):
         h.update(repr(item).encode())
-    batch_bounds = list(range(0, n_cells, batch_cells)) + [n_cells]
     if sp.issparse(expr):
         x = expr.tocsr()
         ptr = x.indptr
-        batch_sums = [
-            float(x.data[ptr[s] : ptr[e]].sum(dtype=np.float64))
-            for s, e in zip(batch_bounds[:-1], batch_bounds[1:])
-        ]
-        h.update(repr((str(x.dtype), int(x.nnz), batch_sums)).encode())
+        if len(x.data):
+            # reduceat needs indices < len(data); trailing-empty-row starts
+            # clip to the last element and are zeroed below
+            idx = np.minimum(ptr[:-1], len(x.data) - 1)
+            row_sums = np.add.reduceat(x.data, idx, dtype=np.float64)
+            row_sums[np.diff(ptr) == 0] = 0.0
+        else:
+            row_sums = np.zeros(n_cells, np.float64)
+        h.update(repr((str(x.dtype), int(x.nnz))).encode())
         h.update(np.ascontiguousarray(ptr).tobytes())
     else:
         e_arr = np.asarray(expr)
-        batch_sums = [
-            float(np.sum(e_arr[s:e], dtype=np.float64)) for s, e in zip(batch_bounds[:-1], batch_bounds[1:])
-        ]
         row_sums = np.asarray(e_arr.sum(axis=1, dtype=np.float64))
-        h.update(repr((str(e_arr.dtype), batch_sums)).encode())
-        h.update(np.ascontiguousarray(row_sums).tobytes())
+        h.update(repr(str(e_arr.dtype)).encode())
+    h.update(np.ascontiguousarray(row_sums, dtype=np.float64).tobytes())
     h.update(np.ascontiguousarray(np.asarray(reference, dtype=np.float64)).tobytes())
     h.update(",".join(var["chromosome"].astype(str)).encode())
     h.update(np.ascontiguousarray(var["start"].to_numpy(np.int64)).tobytes())
@@ -677,6 +676,7 @@ def _infercnv_compute(
                     if calculate_gene_values:
                         gene_parts.append(z["gene"])
                 done_cells += stop - start
+                _progress(done_cells)
                 continue
             if use_prefetch:
                 operands, chunk_ids, rows, rows_padded, cap = futures.pop(start).result()

@@ -171,3 +171,35 @@ def test_fingerprint_detects_row_permutation(tmp_path):
     # same data -> same fingerprint (stability)
     assert fp1 == _ckpt_fingerprint(expr.copy(), var, ref, **args)
     assert fp3 == _ckpt_fingerprint(dense.copy(), var, ref, **args)
+
+    # swapping two equal-nnz rows WITHIN one batch must also invalidate:
+    # build two rows with identical nnz but different values
+    d2 = dense.copy()
+    d2[[1, 2]] = d2[[2, 1]]
+    assert (d2 != dense).any()
+    assert _ckpt_fingerprint(d2, var, ref, **args) != fp3
+    s2 = sp.csr_matrix(d2)
+    base = sp.csr_matrix(dense)
+    args2 = dict(args)
+    fp_a = _ckpt_fingerprint(base, var, ref, **args2)
+    fp_b = _ckpt_fingerprint(s2, var, ref, **args2)
+    assert fp_a != fp_b
+
+
+def test_fingerprint_handles_empty_rows():
+    from infercnvpy_tpu.tl._infercnv import _ckpt_fingerprint
+
+    expr, var, ref = _toy(n_cells=64)
+    lil = expr.tolil()
+    lil[0, :] = 0
+    lil[63, :] = 0
+    x = lil.tocsr()
+    x.eliminate_zeros()
+    args = dict(
+        n_cells=64, n_genes=expr.shape[1], window_size=50, step=10, lfc_clip=3.0,
+        dynamic_threshold=1.5, chunksize=16, calculate_gene_values=False,
+        batch_cells=32, cdtype=np.float32,
+    )
+    fp = _ckpt_fingerprint(x, var, ref, **args)
+    assert fp == _ckpt_fingerprint(x.copy(), var, ref, **args)
+    assert fp != _ckpt_fingerprint(expr, var, ref, **args)
