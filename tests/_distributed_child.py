@@ -121,6 +121,23 @@ for shard in x_res.addressable_shards:
 assert n_shards == 2, n_shards
 assert max_err <= 1e-6, max_err
 
+# --- distributed cnv_score: the library's segment-sum + psum collective
+# (tl/_scores.py) over the SAME global mesh — per-cluster |CNV| statistics
+# reduce across processes and every process receives the replicated result
+from infercnvpy_tpu.tl._scores import _sharded_group_abs_fn
+
+n_groups = 4
+codes_global = (np.arange(n_cells) % n_groups).astype(np.int32)
+codes_dev = infercnv_global_array(codes_global[lo:hi], mesh)
+s, c = _sharded_group_abs_fn(mesh, n_groups)(x_res, codes_dev)
+score = np.asarray(s)[:n_groups] / np.maximum(np.asarray(c)[:n_groups] * want.shape[1], 1.0)
+want_score = np.array([np.abs(want[codes_global == g]).mean() for g in range(n_groups)])
+score_err = float(np.abs(score - want_score).max())
+assert score_err <= 1e-6, (score, want_score)
+
 with open(os.path.join(out_dir, f"ok_{pid}"), "w") as f:
-    f.write(f"process {pid}/{nproc}: {n_shards} shards, max_err {max_err:.2e}\n")
-print(f"child {pid}: OK (max_err {max_err:.2e})", flush=True)
+    f.write(
+        f"process {pid}/{nproc}: {n_shards} shards, max_err {max_err:.2e}, "
+        f"score_err {score_err:.2e}\n"
+    )
+print(f"child {pid}: OK (max_err {max_err:.2e}, score_err {score_err:.2e})", flush=True)
