@@ -11,13 +11,13 @@ Namespace layout mirrors the reference (reference: src/infercnvpy/__init__.py:5-
 """
 
 from . import datasets, io, parallel, pl, pp, tl  # noqa: E402
-from .core import AnnData, read_h5ad  # noqa: E402
+from .core import AnnData, read_h5ad, write_h5ad  # noqa: E402
 from . import profiling, settings  # noqa: E402
 
 settings._auto_enable_compilation_cache()
 
 __all__ = [
     "datasets", "io", "parallel", "pl", "pp", "tl",
-    "AnnData", "read_h5ad", "settings", "profiling",
+    "AnnData", "read_h5ad", "write_h5ad", "settings", "profiling",
 ]
 __version__ = "0.1.0"

@@ -203,7 +203,10 @@ def native_coo_remap(indptr, indices, data, lut, cap: int, col_dtype, val_dtype)
         return None
     col_dtype = np.dtype(col_dtype)
     val_dtype = np.dtype(val_dtype)
-    if col_dtype not in (np.int16, np.int32):
+    # the driver's col_index_dtype() yields uint16 for widths <= 65536; the
+    # C int16 store writes the same 16 bits, so reinterpreting the buffer as
+    # uint16 is exact for any column id < 2^16
+    if col_dtype not in (np.int16, np.uint16, np.int32):
         return None
     if val_dtype == np.float32:
         vals_mode = 0
@@ -233,7 +236,7 @@ def native_coo_remap(indptr, indices, data, lut, cap: int, col_dtype, val_dtype)
         ctypes.c_int64(cap),
         offsets.ctypes.data_as(_I64P),
         cols.ctypes.data_as(ctypes.c_void_p),
-        ctypes.c_int32(1 if col_dtype == np.int16 else 0),
+        ctypes.c_int32(1 if col_dtype.itemsize == 2 else 0),
         vals.ctypes.data_as(ctypes.c_void_p),
         ctypes.c_int32(vals_mode),
         counts.ctypes.data_as(_I32P),

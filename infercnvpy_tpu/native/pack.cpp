@@ -111,6 +111,11 @@ void pack_dense_f64(const double* src, int64_t n_rows, int64_t n_cols,
 static inline uint16_t f32_to_bf16(float v) {
   uint32_t u;
   __builtin_memcpy(&u, &v, 4);
+  if ((u & 0x7fffffffu) > 0x7f800000u) {
+    // NaN: rounding would carry into the exponent (-> Inf) or the sign bit;
+    // emit a quiet NaN with the sign preserved, matching ml_dtypes
+    return (uint16_t)((u >> 16) | 0x0040u);
+  }
   const uint32_t rounding = 0x7fffu + ((u >> 16) & 1u);
   return (uint16_t)((u + rounding) >> 16);
 }

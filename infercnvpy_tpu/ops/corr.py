@@ -47,7 +47,9 @@ def _sharded_stripe_fn(mesh, x64: bool):
     — the O(n²·d) matmul FLOPs distribute over the mesh; the result gathers
     row-sharded (SURVEY §2.4 distributed-downstream direction).
     """
-    key = (tuple(d.id for d in mesh.devices.flat), mesh.axis_names, x64)
+    from ..parallel.mesh import mesh_key
+
+    key = (*mesh_key(mesh), x64)
     if key not in _SHARDED_CACHE:
         from jax.sharding import PartitionSpec as P
 
@@ -76,13 +78,6 @@ def _sharded_stripe_fn(mesh, x64: bool):
     return _SHARDED_CACHE[key]
 
 
-def _pad_rows(a: np.ndarray, mult: int) -> np.ndarray:
-    pad = (-a.shape[0]) % mult
-    if pad:
-        a = np.concatenate([a, np.zeros((pad, a.shape[1]), a.dtype)], axis=0)
-    return a
-
-
 def pearson_rows(X, mesh=None):
     """Correlation matrix of the rows of X (np.corrcoef semantics).
 
@@ -106,7 +101,7 @@ def pearson_rows(X, mesh=None):
     Xn = Xc / np.sqrt(np.sum(Xc * Xc, axis=1, keepdims=True))
 
     if use_mesh:
-        from ..parallel.mesh import replicate, shard_cells
+        from ..parallel.mesh import pad_rows as _pad_rows, replicate, shard_cells
 
         data_sh, repl_sh = shard_cells(mesh), replicate(mesh)
         fn = _sharded_stripe_fn(mesh, x64)

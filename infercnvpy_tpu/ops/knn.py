@@ -59,7 +59,9 @@ def _sharded_query_fn(mesh, k: int):
     is needed because top-k per query row is embarrassingly parallel over
     queries; results gather back row-sharded.
     """
-    key = (tuple(d.id for d in mesh.devices.flat), mesh.axis_names, int(k))
+    from ..parallel.mesh import mesh_key
+
+    key = (*mesh_key(mesh), int(k))
     if key not in _SHARDED_CACHE:
         from jax.sharding import PartitionSpec as P
 
@@ -121,7 +123,11 @@ def exact_knn(X: np.ndarray, k: int, *, block: int = 4096, mesh=None):
         for start in range(0, pad_n, super_block):
             stop = min(start + super_block, pad_n)
             rows = stop - start
-            pad = (-rows) % n_dev
+            # pad the trailing block to a FULL super_block: a smaller last
+            # block would change the per-device query shape and trigger a
+            # second XLA compile (pad rows carry qidx=-1 / inf norms and are
+            # sliced off below)
+            pad = super_block - rows
             q = np.concatenate([Xp[start:stop], np.zeros((pad, d), np.float32)]) if pad else Xp[start:stop]
             qn = np.concatenate([norms[start:stop], np.full(pad, np.inf, np.float32)]) if pad else norms[start:stop]
             qi = np.concatenate([gidx[start:stop], np.full(pad, -1, np.int32)]) if pad else gidx[start:stop]

@@ -23,6 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
 
+from ..parallel.mesh import pad_rows as _pad_rows
+
 __all__ = ["truncated_svd"]
 
 
@@ -46,13 +48,11 @@ def _project(block, V):
 _SHARDED_CACHE: dict = {}
 
 
-def _mesh_key(mesh):
-    return (tuple(d.id for d in mesh.devices.flat), mesh.axis_names)
-
-
 def _sharded_gram_fn(mesh):
     """jit(shard_map): rows sharded over the cell axis -> psum'd Gram (d×d)."""
-    key = ("gram", _mesh_key(mesh))
+    from ..parallel.mesh import mesh_key
+
+    key = ("gram", mesh_key(mesh))
     if key not in _SHARDED_CACHE:
         from jax.sharding import PartitionSpec as P
 
@@ -69,7 +69,9 @@ def _sharded_gram_fn(mesh):
 
 def _sharded_project_fn(mesh):
     """jit(shard_map): row-sharded X @ replicated V -> row-sharded scores."""
-    key = ("project", _mesh_key(mesh))
+    from ..parallel.mesh import mesh_key
+
+    key = ("project", mesh_key(mesh))
     if key not in _SHARDED_CACHE:
         from jax.sharding import PartitionSpec as P
 
@@ -81,13 +83,6 @@ def _sharded_project_fn(mesh):
             )
         )
     return _SHARDED_CACHE[key]
-
-
-def _pad_rows(b: np.ndarray, mult: int) -> np.ndarray:
-    pad = (-b.shape[0]) % mult
-    if pad:
-        b = np.concatenate([b, np.zeros((pad, b.shape[1]), b.dtype)], axis=0)
-    return b
 
 
 def truncated_svd(
@@ -196,31 +191,44 @@ def truncated_svd(
     out_dtype = np.float64 if use_hp else np.float32
     scores = np.empty((n, n_comps), dtype=out_dtype)
 
-    def _project_mesh(b, V):
-        from ..parallel.mesh import shard_cells
+    # ship the (replicated) component matrix ONCE — re-uploading it per row
+    # block would pay the H2D path this module exists to minimize
+    if use_hp and x64:
+        V_host = V64
+    elif use_hp:
+        V_host = V64
+    else:
+        V_host = V64.astype(np.float32)
+    if use_mesh:
+        from ..parallel.mesh import replicate, shard_cells
 
+        V_dev = jax.device_put(V_host, replicate(mesh))
+        data_sh = shard_cells(mesh)
+    elif not use_hp or x64:
+        V_dev = jnp.asarray(V_host)
+
+    def _project_mesh(b):
         rows = b.shape[0]
-        bd = jax.device_put(_pad_rows(b, n_dev), shard_cells(mesh))
-        return np.asarray(_sharded_project_fn(mesh)(bd, jnp.asarray(V)))[:rows]
+        bd = jax.device_put(_pad_rows(b, n_dev), data_sh)
+        return np.asarray(_sharded_project_fn(mesh)(bd, V_dev))[:rows]
 
     for start, blk in _blocks():
         if use_hp and x64:
             b = blk.astype(np.float64, copy=False)
             if zero_center:
                 b = b - mu_np
-            proj = _project_mesh(b, V64) if use_mesh else _project(b, jnp.asarray(V64))
+            proj = _project_mesh(b) if use_mesh else _project(b, V_dev)
             scores[start : start + blk.shape[0]] = proj
         elif use_hp:
             b64 = np.asarray(blk, dtype=np.float64)
             if zero_center:
                 b64 = b64 - mu_np
-            scores[start : start + blk.shape[0]] = b64 @ V64
+            scores[start : start + blk.shape[0]] = b64 @ V_host
         else:
             b = blk.astype(np.float32, copy=False)
             if zero_center:
                 b = b - mu_np.astype(np.float32)
-            V32 = V64.astype(np.float32)
-            proj = _project_mesh(b, V32) if use_mesh else _project(b, jnp.asarray(V32))
+            proj = _project_mesh(b) if use_mesh else _project(b, V_dev)
             scores[start : start + blk.shape[0]] = proj
 
     V_np = V64.astype(out_dtype)

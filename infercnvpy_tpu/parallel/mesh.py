@@ -13,9 +13,23 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["cell_mesh", "shard_cells", "replicate"]
+__all__ = ["cell_mesh", "shard_cells", "replicate", "mesh_key", "pad_rows"]
 
 CELL_AXIS = "cells"
+
+
+def mesh_key(mesh: "Mesh") -> tuple:
+    """Hashable identity of a mesh — the cache key every sharded-transform
+    builder uses (same devices + axis names => same compiled program)."""
+    return (tuple(d.id for d in mesh.devices.flat), mesh.axis_names)
+
+
+def pad_rows(a: np.ndarray, mult: int) -> np.ndarray:
+    """Zero-pad the leading axis to a multiple of ``mult`` (no-op if aligned)."""
+    pad = (-a.shape[0]) % mult
+    if pad:
+        a = np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+    return a
 
 
 def cell_mesh(devices=None) -> Mesh:

@@ -74,8 +74,10 @@ def sharded_infercnv_fn(
     if dtype is None:
         dtype = jnp.float32
 
+    from .mesh import mesh_key
+
     key = (
-        plan.cache_key, tuple(d.id for d in mesh.devices.flat), mesh.axis_names,
+        plan.cache_key, *mesh_key(mesh),
         n_ref_rows, float(lfc_clip),
         None if dynamic_threshold is None else float(dynamic_threshold),
         num_chunks, calculate_gene_values, str(jnp.dtype(dtype)),

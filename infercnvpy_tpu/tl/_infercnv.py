@@ -206,8 +206,27 @@ _LAST_RUN_INFO: dict = {}
 
 #: module-level AOT executable cache: (id(jitted), arg signature) -> compiled.
 #: The jitted transforms themselves are memoized module-level by their
-#: builders, so their ids are stable for the process lifetime.
+#: builders, so their ids are stable for the process lifetime.  Bounded FIFO
+#: (insertion order) so a long-lived service cycling through many distinct
+#: genome/batch shapes cannot grow device/host memory without limit.
 _EXEC_CACHE: dict = {}
+_EXEC_CACHE_MAX = 64
+
+
+def clear_transform_caches() -> None:
+    """Drop every memoized transform and compiled executable.
+
+    Frees the builder caches (jit objects and their traced programs) and the
+    AOT executable cache.  The next ``tl.infercnv`` call recompiles; use from
+    long-lived services between unrelated workloads.
+    """
+    from ..ops import infercnv_kernel as _ik, sparse_ingest as _si
+    from ..parallel import sharded as _sh
+
+    _EXEC_CACHE.clear()
+    _ik._BUILD_CACHE.clear()
+    _si._BUILD_CACHE.clear()
+    _sh._BUILD_CACHE.clear()
 
 
 def _identity(out):
@@ -247,6 +266,8 @@ def _compiled_executable(f, args):
         t0 = _time.perf_counter()
         compiled = jitted.lower(*args).compile()
         compile_sec = _time.perf_counter() - t0
+        while len(_EXEC_CACHE) >= _EXEC_CACHE_MAX:
+            _EXEC_CACHE.pop(next(iter(_EXEC_CACHE)))
         _EXEC_CACHE[key] = compiled
     return compiled, wrap, compile_sec
 
@@ -257,11 +278,12 @@ def _ckpt_fingerprint(
 ) -> str:
     """Configuration hash guarding checkpoint reuse (any mismatch = new run).
 
-    The expression matrix enters via shape/dtype plus ROW-STRUCTURED one-pass
-    summaries — the CSR indptr and per-row value sums (dense likewise) — so
-    reordering cells, or swapping values between cells anywhere, changes the
-    fingerprint even though the global element sum is invariant.  Sums
-    accumulate in float64 without materializing a float64 copy of the data.
+    Sparse input is hashed EXACTLY — indptr, indices, and raw data bytes all
+    enter the digest (sha256 streams ~1-2 GB/s, a fraction of one batch's
+    compute even at 10⁹ nnz, with no copies).  Dense input is hashed exactly
+    up to 1 GiB; above that it enters via per-row sums plus a column-weighted
+    row projection (binds values to both their row AND column), avoiding an
+    80 GB hash pass at the 1M-cell scale.
     """
     import hashlib
 
@@ -275,22 +297,23 @@ def _ckpt_fingerprint(
         h.update(repr(item).encode())
     if sp.issparse(expr):
         x = expr.tocsr()
-        ptr = x.indptr
-        if len(x.data):
-            # reduceat needs indices < len(data); trailing-empty-row starts
-            # clip to the last element and are zeroed below
-            idx = np.minimum(ptr[:-1], len(x.data) - 1)
-            row_sums = np.add.reduceat(x.data, idx, dtype=np.float64)
-            row_sums[np.diff(ptr) == 0] = 0.0
-        else:
-            row_sums = np.zeros(n_cells, np.float64)
         h.update(repr((str(x.dtype), int(x.nnz))).encode())
-        h.update(np.ascontiguousarray(ptr).tobytes())
+        h.update(memoryview(np.ascontiguousarray(x.indptr)))
+        h.update(memoryview(np.ascontiguousarray(x.indices)))
+        h.update(memoryview(np.ascontiguousarray(x.data)))
     else:
         e_arr = np.asarray(expr)
-        row_sums = np.asarray(e_arr.sum(axis=1, dtype=np.float64))
         h.update(repr(str(e_arr.dtype)).encode())
-    h.update(np.ascontiguousarray(row_sums, dtype=np.float64).tobytes())
+        if e_arr.nbytes <= (1 << 30):
+            h.update(memoryview(np.ascontiguousarray(e_arr)))
+        else:
+            row_sums = np.asarray(e_arr.sum(axis=1, dtype=np.float64))
+            # deterministic pseudorandom column weights: one BLAS pass that
+            # changes when any value moves between columns within a row
+            w = np.random.default_rng(12345).normal(size=e_arr.shape[1])
+            col_proj = e_arr.astype(np.float64, copy=False) @ w if e_arr.dtype == np.float64 else e_arr @ w.astype(np.float32)
+            h.update(np.ascontiguousarray(row_sums, dtype=np.float64).tobytes())
+            h.update(np.ascontiguousarray(col_proj, dtype=np.float64).tobytes())
     h.update(np.ascontiguousarray(np.asarray(reference, dtype=np.float64)).tobytes())
     h.update(",".join(var["chromosome"].astype(str)).encode())
     h.update(np.ascontiguousarray(var["start"].to_numpy(np.int64)).tobytes())

@@ -38,7 +38,9 @@ def _sharded_group_abs_fn(mesh, n_groups: int):
     """
     import jax
 
-    key = (tuple(d.id for d in mesh.devices.flat), mesh.axis_names, int(n_groups))
+    from ..parallel.mesh import mesh_key
+
+    key = (*mesh_key(mesh), int(n_groups))
     if key not in _SHARDED_CACHE:
         import jax.numpy as jnp
         from jax.sharding import PartitionSpec as P

@@ -164,7 +164,8 @@ def test_umap_tsne_trustworthiness(blobs):
     (fraction of local neighborhoods preserved, 0.5 ~ random, 1.0 perfect)
     — a real quality bar that runs in this environment, unlike the
     umap-learn/scanpy differentials that importorskip away here."""
-    from sklearn.manifold import trustworthiness
+    sklearn_manifold = pytest.importorskip("sklearn.manifold")
+    trustworthiness = sklearn_manifold.trustworthiness
 
     X, labels = blobs
     dists, idxs = exact_knn(X, 15)

@@ -24,7 +24,7 @@ def _numpy_remap(x, lut):
     return new_cols[keep], x.data[keep], counts
 
 
-@pytest.mark.parametrize("col_dtype", [np.int16, np.int32])
+@pytest.mark.parametrize("col_dtype", [np.int16, np.uint16, np.int32])
 @pytest.mark.parametrize("filtered", [False, True])
 def test_coo_remap_matches_numpy(col_dtype, filtered):
     rng = np.random.default_rng(3)
@@ -74,8 +74,11 @@ def test_dense_to_csr_matches_scipy():
 
 
 def test_ingest_path_uses_native_and_matches(monkeypatch):
-    """coo_from_csr_batch routes through the native remap and stays equal to
-    the numpy fallback."""
+    """coo_from_csr_batch ACTUALLY routes through the native remap (the
+    driver's col_index_dtype yields uint16, which the wrapper must accept —
+    a round-5 review found the native path dead for that reason) and stays
+    equal to the numpy fallback."""
+    import infercnvpy_tpu.native as nat
     import infercnvpy_tpu.ops.sparse_ingest as si
 
     rng = np.random.default_rng(9)
@@ -84,12 +87,40 @@ def test_ingest_path_uses_native_and_matches(monkeypatch):
     used = rng.choice(400, size=350, replace=False)
     lut[used] = rng.permutation(350)
     width = 352
+    assert si.col_index_dtype(width) == np.uint16  # the realistic driver dtype
     cap = si.round_nnz_cap(x.nnz)
-    got = si.coo_from_csr_batch(x, lut, width, cap)
-    with monkeypatch.context() as m:
-        import infercnvpy_tpu.native as nat
+    calls = []
+    real = nat.native_coo_remap
 
+    def counting(*a, **k):
+        out = real(*a, **k)
+        calls.append(out is not None)
+        return out
+
+    with monkeypatch.context() as m:
+        m.setattr(nat, "native_coo_remap", counting)
+        got = si.coo_from_csr_batch(x, lut, width, cap)
+    assert calls == [True], "native remap was not used for the driver's uint16 col dtype"
+    with monkeypatch.context() as m:
         m.setattr(nat, "native_coo_remap", lambda *a, **k: None)
         want = si.coo_from_csr_batch(x, lut, width, cap)
     for g, w in zip(got, want):
         npt.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_coo_remap_bf16_specials_match_mldtypes():
+    """NaN/Inf survive the fused C bf16 conversion exactly like ml_dtypes
+    (an unguarded round would turn NaN into Inf or -0.0)."""
+    import ml_dtypes
+
+    data = np.array([np.nan, -np.nan, np.inf, -np.inf, 0.0, -0.0, 3.0e38, 1e-40], np.float32)
+    x = sp.csr_matrix(data.reshape(1, -1))
+    x.data = data.copy()  # keep explicit zeros/specials as stored values
+    x.indices = np.arange(8, dtype=np.int32)
+    x.indptr = np.array([0, 8], np.int64)
+    lut = np.arange(8, dtype=np.int64)
+    bf = np.dtype(ml_dtypes.bfloat16)
+    cols, vals, counts, nnz = native_coo_remap(x.indptr, x.indices, x.data, lut, 16, np.uint16, bf)
+    want = data.astype(ml_dtypes.bfloat16)
+    got = vals[:nnz].view(np.uint16)
+    npt.assert_array_equal(got, want.view(np.uint16))

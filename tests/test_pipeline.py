@@ -186,6 +186,33 @@ def test_fingerprint_detects_row_permutation(tmp_path):
     assert fp_a != fp_b
 
 
+def test_fingerprint_exact_on_sparse_values():
+    """Round-5 review repro: with a trailing empty row, the old clipped
+    reduceat excluded the last stored value — editing it collided.  The
+    sparse fingerprint is now an exact content hash."""
+    from infercnvpy_tpu.tl._infercnv import _ckpt_fingerprint
+
+    var = pd.DataFrame({"chromosome": ["chr1"] * 4, "start": [1, 2, 3, 4]})
+    var["end"] = var["start"] + 1
+    ref = np.zeros((1, 4))
+    args = dict(
+        n_cells=3, n_genes=4, window_size=2, step=1, lfc_clip=3.0,
+        dynamic_threshold=1.5, chunksize=2, calculate_gene_values=False,
+        batch_cells=2, cdtype=np.float32,
+    )
+    a = sp.csr_matrix(np.array([[1.0, 2, 0, 0], [0, 5, 6, 0], [0, 0, 0, 0]], np.float32))
+    b = a.copy()
+    b.data = b.data.copy()
+    b.data[-1] = 99.0  # edit the LAST stored value (row 1), last row empty
+    assert _ckpt_fingerprint(a, var, ref, **args) != _ckpt_fingerprint(b, var, ref, **args)
+
+    # same-row value/column rearrangements must differ too
+    c = sp.csr_matrix(np.array([[2.0, 1, 0, 0], [0, 5, 6, 0], [0, 0, 0, 0]], np.float32))
+    d = sp.csr_matrix(np.array([[0.0, 2, 1, 0], [0, 5, 6, 0], [0, 0, 0, 0]], np.float32))
+    fps = {_ckpt_fingerprint(m, var, ref, **args) for m in (a, c, d)}
+    assert len(fps) == 3
+
+
 def test_fingerprint_handles_empty_rows():
     from infercnvpy_tpu.tl._infercnv import _ckpt_fingerprint
 
