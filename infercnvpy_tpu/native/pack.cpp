@@ -112,9 +112,10 @@ static inline uint16_t f32_to_bf16(float v) {
   uint32_t u;
   __builtin_memcpy(&u, &v, 4);
   if ((u & 0x7fffffffu) > 0x7f800000u) {
-    // NaN: rounding would carry into the exponent (-> Inf) or the sign bit;
-    // emit a quiet NaN with the sign preserved, matching ml_dtypes
-    return (uint16_t)((u >> 16) | 0x0040u);
+    // NaN: rounding would carry into the exponent (-> Inf) or the sign bit.
+    // ml_dtypes canonicalizes EVERY NaN to 0x7FC0/0xFFC0 (payload dropped);
+    // emit the same so native and numpy transfer buffers stay bitwise-equal.
+    return (uint16_t)(0x7fc0u | ((u >> 16) & 0x8000u));
   }
   const uint32_t rounding = 0x7fffu + ((u >> 16) & 1u);
   return (uint16_t)((u + rounding) >> 16);

@@ -123,11 +123,12 @@ def exact_knn(X: np.ndarray, k: int, *, block: int = 4096, mesh=None):
         for start in range(0, pad_n, super_block):
             stop = min(start + super_block, pad_n)
             rows = stop - start
-            # pad the trailing block to a FULL super_block: a smaller last
-            # block would change the per-device query shape and trigger a
-            # second XLA compile (pad rows carry qidx=-1 / inf norms and are
-            # sliced off below)
-            pad = super_block - rows
+            # multi-superblock inputs pad the trailing block to a FULL
+            # super_block (a smaller last block would change the per-device
+            # query shape and trigger a second XLA compile); a single-block
+            # input pads only to the mesh size — there is no second compile
+            # to save and full padding would waste up to n_dev x the compute
+            pad = (super_block - rows) if pad_n > super_block else ((-rows) % n_dev)
             q = np.concatenate([Xp[start:stop], np.zeros((pad, d), np.float32)]) if pad else Xp[start:stop]
             qn = np.concatenate([norms[start:stop], np.full(pad, np.inf, np.float32)]) if pad else norms[start:stop]
             qi = np.concatenate([gidx[start:stop], np.full(pad, -1, np.int32)]) if pad else gidx[start:stop]

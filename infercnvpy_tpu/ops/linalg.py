@@ -193,12 +193,7 @@ def truncated_svd(
 
     # ship the (replicated) component matrix ONCE — re-uploading it per row
     # block would pay the H2D path this module exists to minimize
-    if use_hp and x64:
-        V_host = V64
-    elif use_hp:
-        V_host = V64
-    else:
-        V_host = V64.astype(np.float32)
+    V_host = V64 if use_hp else V64.astype(np.float32)
     if use_mesh:
         from ..parallel.mesh import replicate, shard_cells
 

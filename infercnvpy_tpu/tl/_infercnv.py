@@ -216,17 +216,23 @@ _EXEC_CACHE_MAX = 64
 def clear_transform_caches() -> None:
     """Drop every memoized transform and compiled executable.
 
-    Frees the builder caches (jit objects and their traced programs) and the
-    AOT executable cache.  The next ``tl.infercnv`` call recompiles; use from
-    long-lived services between unrelated workloads.
+    Frees the builder caches (jit objects and their traced programs), the
+    AOT executable cache, and the sharded-downstream transform caches
+    (corr/knn/linalg/scores).  The next call of each path recompiles; use
+    from long-lived services between unrelated workloads.
     """
-    from ..ops import infercnv_kernel as _ik, sparse_ingest as _si
+    from ..ops import corr as _corr, infercnv_kernel as _ik, knn as _knn, linalg as _lin, sparse_ingest as _si
     from ..parallel import sharded as _sh
+    from . import _scores
 
     _EXEC_CACHE.clear()
     _ik._BUILD_CACHE.clear()
     _si._BUILD_CACHE.clear()
     _sh._BUILD_CACHE.clear()
+    _corr._SHARDED_CACHE.clear()
+    _knn._SHARDED_CACHE.clear()
+    _lin._SHARDED_CACHE.clear()
+    _scores._SHARDED_CACHE.clear()
 
 
 def _identity(out):

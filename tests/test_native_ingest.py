@@ -113,7 +113,11 @@ def test_coo_remap_bf16_specials_match_mldtypes():
     (an unguarded round would turn NaN into Inf or -0.0)."""
     import ml_dtypes
 
-    data = np.array([np.nan, -np.nan, np.inf, -np.inf, 0.0, -0.0, 3.0e38, 1e-40], np.float32)
+    payload_nan = np.uint32(0x7FAB0001).view(np.float32)  # ml_dtypes canonicalizes
+    data = np.array(
+        [np.nan, -np.nan, np.inf, -np.inf, 0.0, -0.0, 3.0e38, 1e-40], np.float32
+    )
+    data[1] = payload_nan
     x = sp.csr_matrix(data.reshape(1, -1))
     x.data = data.copy()  # keep explicit zeros/specials as stored values
     x.indices = np.arange(8, dtype=np.int32)

@@ -186,6 +186,29 @@ def test_fingerprint_detects_row_permutation(tmp_path):
     assert fp_a != fp_b
 
 
+def test_clear_transform_caches():
+    """The service-facing cache reset empties every memoized layer."""
+    import infercnvpy_tpu.ops.infercnv_kernel as ik
+    import infercnvpy_tpu.ops.knn as knn_mod
+    from infercnvpy_tpu.parallel.mesh import cell_mesh
+    from infercnvpy_tpu.tl._infercnv import _EXEC_CACHE, clear_transform_caches
+
+    expr, var, ref = _toy()
+    _infercnv_compute(expr, var, ref, mesh=False, device_densify=True, **KW)
+    import jax
+
+    if len(jax.devices()) > 1:
+        knn_mod.exact_knn(np.random.default_rng(0).normal(size=(40, 8)).astype(np.float32),
+                          5, block=8, mesh=cell_mesh())
+        assert knn_mod._SHARDED_CACHE
+    assert _EXEC_CACHE and ik._BUILD_CACHE
+    clear_transform_caches()
+    assert not _EXEC_CACHE and not ik._BUILD_CACHE and not knn_mod._SHARDED_CACHE
+    # everything rebuilds transparently
+    _, res, _ = _infercnv_compute(expr, var, ref, mesh=False, device_densify=True, **KW)
+    assert res.shape[0] == expr.shape[0]
+
+
 def test_fingerprint_exact_on_sparse_values():
     """Round-5 review repro: with a trailing empty row, the old clipped
     reduceat excluded the last stored value — editing it collided.  The
