@@ -286,6 +286,35 @@ def main():
         gene_parity = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     note("gene parity checked")
 
+    # the reference's own headline benchmark: its tutorial times the
+    # 183-cell oligodendroglioma workflow at 462 ms on CPU
+    # (reference docs/notebooks/reproduce_infercnv.ipynb).  Measure the warm
+    # full-API path on the bundled-dataset stand-in (same shape/semantics).
+    try:
+        import infercnvpy_tpu as _cnv
+
+        _adata = _cnv.datasets.oligodendroglioma()
+        _kw = dict(
+            reference_key="cell_type",
+            reference_cat=["Microglia/Macrophage", "Oligodendrocytes (non-malignant)"],
+            inplace=False,
+        )
+        _cnv.tl.infercnv(_adata, **_kw)  # compile/warm
+        _ts = []
+        for _ in range(5):
+            _t0 = time.perf_counter()
+            _cnv.tl.infercnv(_adata, **_kw)
+            _ts.append(time.perf_counter() - _t0)
+        small_workflow = {
+            "n_cells": int(_adata.shape[0]),
+            "warm_sec": float(f"{min(_ts):.4g}"),
+            "reference_cpu_sec": 0.462,
+            "speedup_vs_reference": float(f"{0.462 / min(_ts):.4g}"),
+        }
+    except Exception as exc:  # noqa: BLE001 - recorded, not swallowed
+        small_workflow = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+    note("small-workflow headline timed")
+
     # the e2e DELIVERABLE is the pipelined production path at the largest
     # size that ran it (stats-mode entries exist for attribution, not as the
     # headline — they serialize the pipeline)
@@ -312,6 +341,7 @@ def main():
             "gene_values_sec_per_call": float(f"{gene_dt:.6g}"),
             "gene_values_slowdown": float(f"{gene_dt / dt:.3g}"),
             "gene_parity": gene_parity,
+            "small_workflow_183c": small_workflow,
             "e2e_headline": e2e_headline,
             "end_to_end_csr": e2e_results,
         },
