@@ -86,6 +86,9 @@ CONFIGS = [
     ([("chr1", 130), ("chr7", 7), ("chr11", 90)], 17, 11, 3, 1, 1.0, None, True),
     ([("chr2", 64), ("chrM", 10), ("weird", 5), ("chr10", 101)], 9, 25, 5, 3, 2.0, 1.5, True),
     ([("chr1", 99), ("chr2", 100)], 11, 100, 10, 2, 3.0, 1.5, True),  # all-small chromosomes
+    ([("chr1", 300)], 8, 50, 1, 2, 3.0, 1.5, False),  # step=1 (reference tutorial mode)
+    ([("chr1", 120), ("chr2", 60)], 12, 30, 30, 1, 3.0, 1.5, True),  # window == step (disjoint)
+    ([("chr1", 50), ("chr2", 50)], 10, 50, 10, 2, 3.0, None, True),  # g == window boundary (uniform branch)
 ]
 
 
