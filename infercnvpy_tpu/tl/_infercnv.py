@@ -317,7 +317,7 @@ def _ckpt_fingerprint(
             # deterministic pseudorandom column weights: one BLAS pass that
             # changes when any value moves between columns within a row
             w = np.random.default_rng(12345).normal(size=e_arr.shape[1])
-            col_proj = e_arr.astype(np.float64, copy=False) @ w if e_arr.dtype == np.float64 else e_arr @ w.astype(np.float32)
+            col_proj = e_arr @ (w if e_arr.dtype == np.float64 else w.astype(np.float32))
             h.update(np.ascontiguousarray(row_sums, dtype=np.float64).tobytes())
             h.update(np.ascontiguousarray(col_proj, dtype=np.float64).tobytes())
     h.update(np.ascontiguousarray(np.asarray(reference, dtype=np.float64)).tobytes())
@@ -578,6 +578,9 @@ def _infercnv_compute(
         ]
         shared_cap = round_nnz_cap(max(batch_nnz))
 
+    if use_sparse:
+        from ..ops.sparse_ingest import coo_from_csr_batch, round_nnz_cap
+
     def _prepare(start):
         """Host half of one batch: pack + enqueue the device transfer."""
         stop = min(start + batch_cells, n_cells)
@@ -591,8 +594,6 @@ def _infercnv_compute(
         t0 = _tick()
         cap = None
         if use_sparse:
-            from ..ops.sparse_ingest import coo_from_csr_batch, round_nnz_cap
-
             cap = shared_cap if shared_cap is not None else round_nnz_cap(raw.nnz)
             cols, vals, counts, _nnz = coo_from_csr_batch(
                 raw, lut, width, cap, val_dtype=tdt if tdt is not None else np.dtype(cdtype)
