@@ -93,10 +93,11 @@ def test_progress_stderr_line(capsys):
     assert "infercnv: 64/64 cells" in err
 
 
+@pytest.mark.parametrize("transfer", ["bfloat16", "float16"])
 @pytest.mark.parametrize("mode", ["sparse", "dense"])
-def test_bf16_transfer_error_bound(mode):
-    """Opt-in bf16 transfer halves shipped bytes; output error stays within
-    the bf16 input-rounding bound (|x*2^-8| per element, smoothed)."""
+def test_bf16_transfer_error_bound(mode, transfer):
+    """Opt-in reduced-precision transfer halves shipped value bytes; output
+    error stays within the input-rounding bound (≤2^-8 relative, smoothed)."""
     expr, var, ref = _toy(n_cells=128, seed=5)
     kw = dict(KW, dynamic_threshold=None)  # gate off: compare continuous values
     if mode == "dense":
@@ -104,7 +105,7 @@ def test_bf16_transfer_error_bound(mode):
     s32, sbf = {}, {}
     _, full, _ = _infercnv_compute(expr, var, ref, stats=s32, mesh=False, device_densify=True, **kw)
     _, red, _ = _infercnv_compute(
-        expr, var, ref, stats=sbf, mesh=False, device_densify=True, transfer_dtype="bfloat16", **kw
+        expr, var, ref, stats=sbf, mesh=False, device_densify=True, transfer_dtype=transfer, **kw
     )
     full = np.asarray(full.todense())
     red = np.asarray(red.todense())
@@ -114,7 +115,7 @@ def test_bf16_transfer_error_bound(mode):
     assert sbf["h2d_bytes"] < s32["h2d_bytes"]
     if mode == "dense":
         assert sbf["h2d_bytes"] <= 0.55 * s32["h2d_bytes"]
-    assert sbf.get("transfer_dtype") == "bfloat16"
+    assert sbf.get("transfer_dtype") == transfer
 
 
 def test_bf16_transfer_on_mesh():
