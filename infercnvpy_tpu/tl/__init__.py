@@ -12,10 +12,13 @@ import pandas as pd
 
 from .._util import warn
 from ._copykat import copykat
-from ._infercnv import infercnv
+from ._infercnv import clear_transform_caches, infercnv
 from ._scores import cnv_score, ithcna, ithgex
 
-__all__ = ["infercnv", "copykat", "cnv_score", "ithcna", "ithgex", "pca", "umap", "tsne", "leiden"]
+__all__ = [
+    "infercnv", "copykat", "cnv_score", "ithcna", "ithgex", "pca", "umap", "tsne", "leiden",
+    "clear_transform_caches",
+]
 
 
 def leiden(
