@@ -1,13 +1,24 @@
 #!/usr/bin/env python
-"""Raw host->device transfer bandwidth probe (device_put + block).
+"""Transfer bandwidth probe: device_put before and after the first D2H.
 
-Context: the e2e CSR pipeline is H2D-bound on this rig, and the tunnel's
-bandwidth is strongly time-varying — BENCH records show 8-26 MB/s during
-bench sessions while this probe has measured 1.1-1.5 GB/s minutes later on
-the same arrays (2026-08-21).  Run it alongside any e2e investigation so
-"the pipeline got slower" and "the tunnel got slower" are distinguishable.
+Root cause isolated 2026-08-21: on this axon-tunneled backend the transport
+runs at **1.3-1.5 GB/s** (both payload sizes, sustained over 16 consecutive
+92 MB puts) UNTIL the process performs its FIRST device->host fetch — even a
+256-float `np.asarray` — after which every subsequent transfer in the
+process (both directions) collapses to ~1.5-40 MB/s and never recovers
+(80 s idle does not heal it; compile and kernel execution do NOT trigger
+it).  That collapsed mode, with its own 1.5-300 MB/s variance, is what
+every BENCH e2e record measures: the pipeline fetches batch results, so all
+H2D after the first materialize rides the collapsed transport.  An A/B of
+result-drain orderings (interleaved vs deferred-drain, which halves the
+bytes shipped in collapsed mode) measured 230 vs 216 cells/s — the
+collapsed-mode variance dwarfs ordering gains, so the driver keeps the
+overlap-friendly interleaved order and the real levers are fewer bytes
+(`transfer_dtype="bfloat16"`) and a backend fix.
 
-Prints one JSON line per payload.
+This probe prints the healthy rate, performs one tiny D2H, and prints the
+collapsed rate — run it alongside any e2e investigation.  One JSON line per
+measurement.
 """
 
 import json
@@ -34,7 +45,7 @@ def main():
         payloads.insert(2, ("bf16-40MB", payloads[0][1].astype(ml_dtypes.bfloat16)))
     except ImportError:  # pragma: no cover
         pass
-    for name, arr in payloads:
+    def put_rate(arr):
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -42,14 +53,25 @@ def main():
             d.block_until_ready()
             ts.append(time.perf_counter() - t0)
             del d
-        mb = arr.nbytes / 1e6
+        return min(ts)
+
+    def emit(name, arr, sec, phase):
         print(json.dumps({
             "payload": name,
+            "phase": phase,
             "bytes": int(arr.nbytes),
-            "min_sec": float(f"{min(ts):.4g}"),
-            "mbps": float(f"{mb / min(ts):.4g}"),
+            "min_sec": float(f"{sec:.4g}"),
+            "mbps": float(f"{arr.nbytes / 1e6 / sec:.4g}"),
             "device": str(jax.devices()[0]),
         }))
+
+    for name, arr in payloads:
+        emit(name, arr, put_rate(arr), "pre-d2h")
+
+    # the poison: one tiny device->host fetch
+    _ = np.asarray(jax.device_put(np.ones(256, np.float32)))
+    for name, arr in payloads[:1]:
+        emit(name, arr, put_rate(arr), "post-d2h")
 
 
 if __name__ == "__main__":
