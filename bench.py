@@ -153,6 +153,11 @@ def main():
     note("gene-values mode timed")
 
     # --- end-to-end: CSR AnnData-style input -> device -> CSR out.
+    # NOTE: by this point the kernel-timing loops above have fetched scalars
+    # (D2H), which permanently collapses this tunnel's transport to its slow
+    # mode (see tools/probe_h2d_bw.py / docs/roofline.md) — so every e2e
+    # entry below, in every round's record, measures collapsed-mode transfer
+    # rates.  Round-over-round comparisons are therefore apples-to-apples.
     # Default path ships the CSR arrays and densifies ON DEVICE
     # (ops/sparse_ingest.py); device_densify=False measures the legacy
     # host-pack path for comparison.  Stats mode serializes the pipeline, so
