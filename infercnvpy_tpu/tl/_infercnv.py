@@ -51,6 +51,7 @@ def infercnv(
     checkpoint_dir=None,
     progress=None,
     transfer_dtype: str | None = None,
+    compress_results: bool | None = None,
 ):
     """Infer Copy Number Variation (CNV) by averaging gene expression over genomic regions.
 
@@ -96,6 +97,13 @@ def infercnv(
         so halving bytes buys wall time directly.  ``None`` (default) ships
         full precision — bit-exact parity with the reference.  Only the
         input expression is reduced; all compute stays in the compute dtype.
+    compress_results
+        Fetch each batch's result as a nonzero bitmask + compacted values
+        instead of the dense matrix (bit-identical CSR; 3-8× fewer
+        device→host bytes at typical noise-gate survival — the D2H link is
+        the constraint on remote backends, see docs/roofline.md).  ``None``
+        (default) enables it automatically whenever the noise gate is on
+        and execution is single-device; ``False`` forces the dense fetch.
     """
     del n_jobs
     # validation: messages are observable API surface (reference tl/_infercnv.py:95-105)
@@ -146,6 +154,7 @@ def infercnv(
             checkpoint_dir=checkpoint_dir,
             progress=progress,
             transfer_dtype=transfer_dtype,
+            compress_results=compress_results,
         )
 
     if calculate_gene_values:
@@ -346,6 +355,7 @@ def _infercnv_compute(
     checkpoint_dir=None,
     progress=False,
     transfer_dtype=None,
+    compress_results=None,
 ):
     """Run the full pipeline; returns (chr_pos, csr result, used-gene matrix or None).
 
@@ -408,6 +418,15 @@ def _infercnv_compute(
     use_sparse = device_densify is not False and sp.issparse(expr) and not use_mesh
     if device_densify and use_mesh:
         warn("device_densify is not supported with a multi-device mesh; using the host packer")
+    # compressed result fetch: bitmask + compacted survivors instead of the
+    # dense matrix (the noise gate zeroes most entries; D2H is the slow
+    # direction on remote links — see ops/result_pack.py)
+    use_result_pack = compress_results is True or (
+        compress_results is None and dynamic_threshold is not None and not use_mesh
+    )
+    if compress_results and use_mesh:
+        warn("compress_results is not supported with a multi-device mesh; fetching dense results")
+        use_result_pack = False
     data_sh = repl_sh = the_mesh = None
     if use_mesh:
         from ..parallel.mesh import cell_mesh, replicate, shard_cells
@@ -497,13 +516,27 @@ def _infercnv_compute(
             stats[key] = stats.get(key, 0.0) + (_time.perf_counter() - t0)
 
     def _materialize(pending):
-        x_res, gene_res, rows, start = pending
+        kind, payload, gene_res, rows, start = pending
         t0 = _tick()
-        x_np = np.asarray(x_res)[:rows]
+        if kind == "packed":
+            mask_dev, vals_dev, nnz_val = payload
+            mask_np = np.asarray(mask_dev)
+            vals_np = np.asarray(vals_dev)
+            d2h_bytes = mask_np.nbytes + vals_np.nbytes
+        else:
+            x_np = np.asarray(payload)[:rows]
+            d2h_bytes = x_np.nbytes
         g_np = np.asarray(gene_res)[:rows] if calculate_gene_values else None
+        if timing:
+            stats["d2h_bytes"] = stats.get("d2h_bytes", 0) + d2h_bytes + (g_np.nbytes if g_np is not None else 0)
         _tock("d2h_sec", t0)
         t0 = _tick()
-        mat = _dense_to_csr(x_np)
+        if kind == "packed":
+            from ..ops.result_pack import mask_vals_to_csr
+
+            mat = mask_vals_to_csr(mask_np, vals_np[:nnz_val], plan.n_windows)[:rows]
+        else:
+            mat = _dense_to_csr(x_np)
         res_parts.append(mat)
         if calculate_gene_values:
             gene_parts.append(g_np)
@@ -557,7 +590,7 @@ def _infercnv_compute(
         t0 = _time.perf_counter() if timing else 0.0
         out = wrap(compiled(*args))
         if timing:
-            jax.block_until_ready([o for o in out if o is not None])
+            jax.block_until_ready([o for o in jax.tree.leaves(out) if o is not None])
             stats["compute_sec"] = stats.get("compute_sec", 0.0) + (_time.perf_counter() - t0)
         return out
 
@@ -565,6 +598,7 @@ def _infercnv_compute(
         stats["mode"] = "device_densify" if use_sparse else ("mesh" if use_mesh else "host_pack")
         if tdt is not None:
             stats["transfer_dtype"] = str(tdt)
+        stats["result_pack"] = use_result_pack
 
     # one nnz capacity for ALL batches of this run (the per-batch maximum,
     # bucket-rounded) so every batch hits the same compiled executable
@@ -688,6 +722,8 @@ def _infercnv_compute(
         futures[compute_starts[0]] = pool.submit(_prepare, compute_starts[0])
     next_prefetch = 1
 
+    pack_cap = 0
+
     try:
         pending = None
         done_cells = 0
@@ -724,12 +760,24 @@ def _infercnv_compute(
                 )
             else:
                 x_res, gene_res = _run(_get_fn(), operands[0], ref_dev, chunk_ids)
-            for arr in (x_res, gene_res):
+            if use_result_pack:
+                from ..ops.result_pack import compact_fn, mask_nnz_fn, round_result_cap
+
+                mask_dev, nnz_dev = _run(mask_nnz_fn(plan.n_windows), x_res, np.int32(rows))
+                nnz_val = int(nnz_dev)  # tiny fetch sizes the value capacity
+                pack_cap = max(pack_cap, round_result_cap(nnz_val))
+                vals_dev = _run(compact_fn(pack_cap), x_res, np.int32(rows))
+                payload_arrs = (mask_dev, vals_dev)
+                new_pending = ("packed", (mask_dev, vals_dev, nnz_val), gene_res, rows, start)
+            else:
+                payload_arrs = (x_res,)
+                new_pending = ("dense", x_res, gene_res, rows, start)
+            for arr in (*payload_arrs, gene_res):
                 if arr is not None and hasattr(arr, "copy_to_host_async"):
                     arr.copy_to_host_async()
             if pending is not None:
                 _materialize(pending)
-            pending = (x_res, gene_res, rows, start)
+            pending = new_pending
             done_cells += stop - start
             _progress(done_cells)
         if pending is not None:
