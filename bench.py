@@ -269,6 +269,10 @@ def main():
             # stats mode would roughly double their wall time and the
             # stage attribution already exists at the smaller sizes
             e2e_guarded(n_c, f"{n_c} (pipelined)", pipelined=True)
+            if n_c >= 1000000 and time.perf_counter() - t_e2e0 <= E2E_BUDGET_SEC:
+                # with results compressed, the biggest run is input-H2D
+                # bound — show the bf16 transfer's effect at full scale
+                e2e_guarded(n_c, f"{n_c} (bf16 pipelined)", pipelined=True, transfer_dtype="bfloat16")
             continue
         e2e_guarded(n_c, str(n_c))
         if i == 0:
