@@ -93,6 +93,67 @@ def compact_fn(cap: int):
     return _FN_CACHE[key]
 
 
+def sharded_mask_nnz_fn(mesh, n_windows: int):
+    """shard_map'd ``(x, n_valid) -> (mask row-sharded, per-shard nnz)``.
+
+    Each shard masks its OWN rows (row-local, no collective); the per-shard
+    nnz vector (one entry per device, gathered row-sharded) lets the host
+    pick one value capacity for the compact pass.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import CELL_AXIS, mesh_key
+
+    key = ("smask", *mesh_key(mesh), n_windows)
+    if key not in _FN_CACHE:
+        base = mask_nnz_fn(n_windows)
+
+        def f(x, n_valid):
+            # n_valid is a GLOBAL row count; shift it into this shard's
+            # local frame (padding rows live at the global tail)
+            local_valid = n_valid - jax.lax.axis_index(CELL_AXIS) * x.shape[0]
+            mask, nnz = base(x, local_valid)
+            return mask, nnz.reshape(1)
+
+        _FN_CACHE[key] = jax.jit(
+            jax.shard_map(f, mesh=mesh, in_specs=(P(CELL_AXIS), P()), out_specs=(P(CELL_AXIS), P(CELL_AXIS)))
+        )
+    return _FN_CACHE[key]
+
+
+def sharded_compact_fn(mesh, cap: int):
+    """shard_map'd ``(x, n_valid) -> vals``: each shard compacts its rows
+    into its own ``cap`` slots; the global output is the per-shard segments
+    concatenated in shard (= row) order."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import CELL_AXIS, mesh_key
+
+    key = ("scompact", *mesh_key(mesh), cap)
+    if key not in _FN_CACHE:
+        base = compact_fn(cap)
+
+        def f(x, n_valid):
+            return base(x, n_valid - jax.lax.axis_index(CELL_AXIS) * x.shape[0])
+
+        _FN_CACHE[key] = jax.jit(
+            jax.shard_map(f, mesh=mesh, in_specs=(P(CELL_AXIS), P()), out_specs=P(CELL_AXIS))
+        )
+    return _FN_CACHE[key]
+
+
+def sharded_mask_vals_to_csr(
+    mask: np.ndarray, vals: np.ndarray, shard_nnz: np.ndarray, n_windows: int
+) -> sp.csr_matrix:
+    """Host assembly for the sharded pack: vals holds ``cap`` slots per
+    shard; slice each shard's true segment and defer to the dense-order
+    reconstruct (mask rows are already global row order)."""
+    n_dev = len(shard_nnz)
+    cap = len(vals) // n_dev
+    data = np.concatenate([vals[s * cap : s * cap + int(shard_nnz[s])] for s in range(n_dev)])
+    return mask_vals_to_csr(mask, data, n_windows)
+
+
 def mask_vals_to_csr(mask: np.ndarray, vals: np.ndarray, n_windows: int) -> sp.csr_matrix:
     """Host half: (rows, nw32) uint32 mask + flat values -> scipy CSR.
 

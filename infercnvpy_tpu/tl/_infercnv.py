@@ -420,13 +420,11 @@ def _infercnv_compute(
         warn("device_densify is not supported with a multi-device mesh; using the host packer")
     # compressed result fetch: bitmask + compacted survivors instead of the
     # dense matrix (the noise gate zeroes most entries; D2H is the slow
-    # direction on remote links — see ops/result_pack.py)
+    # direction on remote links — see ops/result_pack.py).  On a mesh the
+    # compaction runs per shard under shard_map (no cross-device cumsum).
     use_result_pack = compress_results is True or (
-        compress_results is None and dynamic_threshold is not None and not use_mesh
+        compress_results is None and dynamic_threshold is not None
     )
-    if compress_results and use_mesh:
-        warn("compress_results is not supported with a multi-device mesh; fetching dense results")
-        use_result_pack = False
     data_sh = repl_sh = the_mesh = None
     if use_mesh:
         from ..parallel.mesh import cell_mesh, replicate, shard_cells
@@ -518,7 +516,7 @@ def _infercnv_compute(
     def _materialize(pending):
         kind, payload, gene_res, rows, start = pending
         t0 = _tick()
-        if kind == "packed":
+        if kind in ("packed", "packed_mesh"):
             mask_dev, vals_dev, nnz_val = payload
             mask_np = np.asarray(mask_dev)
             vals_np = np.asarray(vals_dev)
@@ -531,7 +529,11 @@ def _infercnv_compute(
             stats["d2h_bytes"] = stats.get("d2h_bytes", 0) + d2h_bytes + (g_np.nbytes if g_np is not None else 0)
         _tock("d2h_sec", t0)
         t0 = _tick()
-        if kind == "packed":
+        if kind == "packed_mesh":
+            from ..ops.result_pack import sharded_mask_vals_to_csr
+
+            mat = sharded_mask_vals_to_csr(mask_np, vals_np, nnz_val, plan.n_windows)[:rows]
+        elif kind == "packed":
             from ..ops.result_pack import mask_vals_to_csr
 
             mat = mask_vals_to_csr(mask_np, vals_np[:nnz_val], plan.n_windows)[:rows]
@@ -760,7 +762,22 @@ def _infercnv_compute(
                 )
             else:
                 x_res, gene_res = _run(_get_fn(), operands[0], ref_dev, chunk_ids)
-            if use_result_pack:
+            if use_result_pack and use_mesh:
+                from ..ops.result_pack import (
+                    round_result_cap,
+                    sharded_compact_fn,
+                    sharded_mask_nnz_fn,
+                )
+
+                mask_dev, shard_nnz_dev = _run(
+                    sharded_mask_nnz_fn(the_mesh, plan.n_windows), x_res, np.int32(rows)
+                )
+                shard_nnz = np.asarray(shard_nnz_dev)  # tiny fetch sizes the capacity
+                pack_cap = max(pack_cap, round_result_cap(int(shard_nnz.max())))
+                vals_dev = _run(sharded_compact_fn(the_mesh, pack_cap), x_res, np.int32(rows))
+                payload_arrs = (mask_dev, vals_dev)
+                new_pending = ("packed_mesh", (mask_dev, vals_dev, shard_nnz), gene_res, rows, start)
+            elif use_result_pack:
                 from ..ops.result_pack import compact_fn, mask_nnz_fn, round_result_cap
 
                 mask_dev, nnz_dev = _run(mask_nnz_fn(plan.n_windows), x_res, np.int32(rows))

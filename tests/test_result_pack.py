@@ -86,6 +86,30 @@ def test_packed_is_default_when_gated():
     assert stats_ng["result_pack"] is False
 
 
+def test_packed_on_mesh_matches_dense():
+    """Per-shard compaction (shard_map, no cross-device cumsum) reproduces
+    the dense mesh result bit-for-bit, including a padded final batch."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    expr, var, ref = _toy(n_cells=101)  # pads across shards AND batches
+    _, dense, _ = _infercnv_compute(expr, var, ref, mesh=None, compress_results=False, **KW)
+    _, packed, _ = _infercnv_compute(expr, var, ref, mesh=None, compress_results=True, **KW)
+    assert (dense != packed).nnz == 0
+    # mesh runs default to packing when gated
+    from infercnvpy_tpu.tl import _infercnv as mod
+
+    stats = {}
+    _infercnv_compute(expr, var, ref, stats=stats, mesh=None, **KW)
+    assert stats["result_pack"] is True and mod._LAST_RUN_INFO["sharded"] is True
+    # and the packed mesh result equals the packed single-device result
+    _, single, _ = _infercnv_compute(expr, var, ref, mesh=False, compress_results=True, **KW)
+    npt.assert_allclose(
+        np.asarray(packed.todense()), np.asarray(single.todense()), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_packed_forced_without_gate():
     """compress_results=True works even ungated (dense survivors)."""
     expr, var, ref = _toy(n_cells=64)
