@@ -101,9 +101,10 @@ def infercnv(
         Fetch each batch's result as a nonzero bitmask + compacted values
         instead of the dense matrix (bit-identical CSR; 3-8× fewer
         device→host bytes at typical noise-gate survival — the D2H link is
-        the constraint on remote backends, see docs/roofline.md).  ``None``
-        (default) enables it automatically whenever the noise gate is on
-        and execution is single-device; ``False`` forces the dense fetch.
+        the constraint on remote backends, see docs/roofline.md).  On a
+        mesh the compaction runs per shard under ``shard_map``.  ``None``
+        (default) enables it automatically whenever the noise gate is on;
+        ``False`` forces the dense fetch.
     """
     del n_jobs
     # validation: messages are observable API surface (reference tl/_infercnv.py:95-105)
