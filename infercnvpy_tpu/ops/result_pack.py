@@ -24,7 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
 
-__all__ = ["mask_nnz_fn", "compact_fn", "mask_vals_to_csr", "round_result_cap"]
+__all__ = [
+    "mask_nnz_fn", "compact_fn", "mask_vals_to_csr", "round_result_cap",
+    "sharded_mask_nnz_fn", "sharded_compact_fn", "sharded_mask_vals_to_csr",
+]
 
 _FN_CACHE: dict = {}
 
@@ -93,6 +96,20 @@ def compact_fn(cap: int):
     return _FN_CACHE[key]
 
 
+def _shard_local_valid(n_valid, x):
+    """Shift the GLOBAL valid-row count into this shard's local frame.
+
+    ``P(CELL_AXIS)`` splits rows contiguously in device order and the
+    driver's padding rows live at the global tail, so shard ``i`` owns
+    global rows ``[i*local, (i+1)*local)`` and its local validity bound is
+    ``n_valid - i*local`` (clamped implicitly by the iota comparison).
+    Shared by the mask and compact wrappers — they MUST agree or the
+    reassembled CSR desynchronizes."""
+    from ..parallel.mesh import CELL_AXIS
+
+    return n_valid - jax.lax.axis_index(CELL_AXIS) * x.shape[0]
+
+
 def sharded_mask_nnz_fn(mesh, n_windows: int):
     """shard_map'd ``(x, n_valid) -> (mask row-sharded, per-shard nnz)``.
 
@@ -109,10 +126,7 @@ def sharded_mask_nnz_fn(mesh, n_windows: int):
         base = mask_nnz_fn(n_windows)
 
         def f(x, n_valid):
-            # n_valid is a GLOBAL row count; shift it into this shard's
-            # local frame (padding rows live at the global tail)
-            local_valid = n_valid - jax.lax.axis_index(CELL_AXIS) * x.shape[0]
-            mask, nnz = base(x, local_valid)
+            mask, nnz = base(x, _shard_local_valid(n_valid, x))
             return mask, nnz.reshape(1)
 
         _FN_CACHE[key] = jax.jit(
@@ -134,7 +148,7 @@ def sharded_compact_fn(mesh, cap: int):
         base = compact_fn(cap)
 
         def f(x, n_valid):
-            return base(x, n_valid - jax.lax.axis_index(CELL_AXIS) * x.shape[0])
+            return base(x, _shard_local_valid(n_valid, x))
 
         _FN_CACHE[key] = jax.jit(
             jax.shard_map(f, mesh=mesh, in_specs=(P(CELL_AXIS), P()), out_specs=P(CELL_AXIS))

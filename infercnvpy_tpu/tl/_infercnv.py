@@ -231,7 +231,14 @@ def clear_transform_caches() -> None:
     (corr/knn/linalg/scores).  The next call of each path recompiles; use
     from long-lived services between unrelated workloads.
     """
-    from ..ops import corr as _corr, infercnv_kernel as _ik, knn as _knn, linalg as _lin, sparse_ingest as _si
+    from ..ops import (
+        corr as _corr,
+        infercnv_kernel as _ik,
+        knn as _knn,
+        linalg as _lin,
+        result_pack as _rp,
+        sparse_ingest as _si,
+    )
     from ..parallel import sharded as _sh
     from . import _scores
 
@@ -243,6 +250,7 @@ def clear_transform_caches() -> None:
     _knn._SHARDED_CACHE.clear()
     _lin._SHARDED_CACHE.clear()
     _scores._SHARDED_CACHE.clear()
+    _rp._FN_CACHE.clear()
 
 
 def _identity(out):
@@ -763,6 +771,7 @@ def _infercnv_compute(
                 )
             else:
                 x_res, gene_res = _run(_get_fn(), operands[0], ref_dev, chunk_ids)
+            new_pending = None
             if use_result_pack and use_mesh:
                 from ..ops.result_pack import (
                     round_result_cap,
@@ -775,19 +784,24 @@ def _infercnv_compute(
                 )
                 shard_nnz = np.asarray(shard_nnz_dev)  # tiny fetch sizes the capacity
                 pack_cap = max(pack_cap, round_result_cap(int(shard_nnz.max())))
-                vals_dev = _run(sharded_compact_fn(the_mesh, pack_cap), x_res, np.int32(rows))
-                payload_arrs = (mask_dev, vals_dev)
-                new_pending = ("packed_mesh", (mask_dev, vals_dev, shard_nnz), gene_res, rows, start)
+                # packing only pays when it actually ships fewer bytes than
+                # the dense fetch (skewed shard survivors / dense results
+                # inflate the uniform per-shard capacity)
+                if mask_dev.size * 4 + n_dev * pack_cap * 4 < x_res.nbytes:
+                    vals_dev = _run(sharded_compact_fn(the_mesh, pack_cap), x_res, np.int32(rows))
+                    payload_arrs = (mask_dev, vals_dev)
+                    new_pending = ("packed_mesh", (mask_dev, vals_dev, shard_nnz), gene_res, rows, start)
             elif use_result_pack:
                 from ..ops.result_pack import compact_fn, mask_nnz_fn, round_result_cap
 
                 mask_dev, nnz_dev = _run(mask_nnz_fn(plan.n_windows), x_res, np.int32(rows))
                 nnz_val = int(nnz_dev)  # tiny fetch sizes the value capacity
                 pack_cap = max(pack_cap, round_result_cap(nnz_val))
-                vals_dev = _run(compact_fn(pack_cap), x_res, np.int32(rows))
-                payload_arrs = (mask_dev, vals_dev)
-                new_pending = ("packed", (mask_dev, vals_dev, nnz_val), gene_res, rows, start)
-            else:
+                if mask_dev.size * 4 + pack_cap * 4 < x_res.nbytes:
+                    vals_dev = _run(compact_fn(pack_cap), x_res, np.int32(rows))
+                    payload_arrs = (mask_dev, vals_dev)
+                    new_pending = ("packed", (mask_dev, vals_dev, nnz_val), gene_res, rows, start)
+            if new_pending is None:
                 payload_arrs = (x_res,)
                 new_pending = ("dense", x_res, gene_res, rows, start)
             for arr in (*payload_arrs, gene_res):
