@@ -512,6 +512,11 @@ def _infercnv_compute(
         ref_dev = jax.device_put(ref_dev, repl_sh)
     res_parts = []
     gene_parts = [] if calculate_gene_values else None
+    n_gene_cols = None
+    if calculate_gene_values:
+        from ..ops.pallas_gene import gene_projection_data
+
+        n_gene_cols = int(gene_projection_data(plan).total)
 
     timing = stats is not None
 
@@ -522,34 +527,50 @@ def _infercnv_compute(
         if timing:
             stats[key] = stats.get(key, 0.0) + (_time.perf_counter() - t0)
 
-    def _materialize(pending):
-        kind, payload, gene_res, rows, start = pending
-        t0 = _tick()
+    def _fetch(payload):
+        """Device payload -> host tuple (same kind tag, numpy buffers)."""
+        kind = payload[0]
         if kind in ("packed", "packed_mesh"):
-            mask_dev, vals_dev, nnz_val = payload
+            _, mask_dev, vals_dev, nnz_val = payload
             mask_np = np.asarray(mask_dev)
             vals_np = np.asarray(vals_dev)
-            d2h_bytes = mask_np.nbytes + vals_np.nbytes
-        else:
-            x_np = np.asarray(payload)[:rows]
-            d2h_bytes = x_np.nbytes
-        g_np = np.asarray(gene_res)[:rows] if calculate_gene_values else None
-        if timing:
-            stats["d2h_bytes"] = stats.get("d2h_bytes", 0) + d2h_bytes + (g_np.nbytes if g_np is not None else 0)
-        _tock("d2h_sec", t0)
-        t0 = _tick()
+            return (kind, mask_np, vals_np, nnz_val), mask_np.nbytes + vals_np.nbytes
+        arr = np.asarray(payload[1])
+        return (kind, arr), arr.nbytes
+
+    def _to_csr(fetched, width, rows):
+        """Host payload -> CSR sliced to the real rows."""
+        kind = fetched[0]
         if kind == "packed_mesh":
             from ..ops.result_pack import sharded_mask_vals_to_csr
 
-            mat = sharded_mask_vals_to_csr(mask_np, vals_np, nnz_val, plan.n_windows)[:rows]
-        elif kind == "packed":
+            return sharded_mask_vals_to_csr(fetched[1], fetched[2], fetched[3], width)[:rows]
+        if kind == "packed":
             from ..ops.result_pack import mask_vals_to_csr
 
-            mat = mask_vals_to_csr(mask_np, vals_np[:nnz_val], plan.n_windows)[:rows]
-        else:
-            mat = _dense_to_csr(x_np)
+            return mask_vals_to_csr(fetched[1], fetched[2][: fetched[3]], width)[:rows]
+        return _dense_to_csr(fetched[1][:rows])
+
+    def _materialize(pending):
+        x_payload, g_payload, rows, start = pending
+        t0 = _tick()
+        fx, x_bytes = _fetch(x_payload)
+        g_bytes = 0
+        if g_payload is not None:
+            fg, g_bytes = _fetch(g_payload)
+        if timing:
+            stats["d2h_bytes"] = stats.get("d2h_bytes", 0) + x_bytes + g_bytes
+        _tock("d2h_sec", t0)
+        t0 = _tick()
+        mat = _to_csr(fx, plan.n_windows, rows)
         res_parts.append(mat)
+        g_np = None
         if calculate_gene_values:
+            if fg[0] == "dense":
+                g_np = fg[1][:rows]
+            else:
+                # per-gene values are consumed (and checkpointed) dense
+                g_np = _to_csr(fg, n_gene_cols, rows).toarray()
             gene_parts.append(g_np)
         if ckpt is not None:
             import os as _os
@@ -733,7 +754,7 @@ def _infercnv_compute(
         futures[compute_starts[0]] = pool.submit(_prepare, compute_starts[0])
     next_prefetch = 1
 
-    pack_cap = 0
+    pack_caps = {"x": 0, "gene": 0}
 
     try:
         pending = None
@@ -771,45 +792,52 @@ def _infercnv_compute(
                 )
             else:
                 x_res, gene_res = _run(_get_fn(), operands[0], ref_dev, chunk_ids)
-            new_pending = None
-            if use_result_pack and use_mesh:
+            def _try_pack(arr, cap_key):
+                """Pack one result matrix; None when dense would ship fewer
+                bytes (skewed shard survivors / ungated dense results)."""
                 from ..ops.result_pack import (
+                    compact_fn,
+                    mask_nnz_fn,
                     round_result_cap,
                     sharded_compact_fn,
                     sharded_mask_nnz_fn,
                 )
 
-                mask_dev, shard_nnz_dev = _run(
-                    sharded_mask_nnz_fn(the_mesh, plan.n_windows), x_res, np.int32(rows)
-                )
-                shard_nnz = np.asarray(shard_nnz_dev)  # tiny fetch sizes the capacity
-                pack_cap = max(pack_cap, round_result_cap(int(shard_nnz.max())))
-                # packing only pays when it actually ships fewer bytes than
-                # the dense fetch (skewed shard survivors / dense results
-                # inflate the uniform per-shard capacity)
-                if mask_dev.size * 4 + n_dev * pack_cap * 4 < x_res.nbytes:
-                    vals_dev = _run(sharded_compact_fn(the_mesh, pack_cap), x_res, np.int32(rows))
-                    payload_arrs = (mask_dev, vals_dev)
-                    new_pending = ("packed_mesh", (mask_dev, vals_dev, shard_nnz), gene_res, rows, start)
-            elif use_result_pack:
-                from ..ops.result_pack import compact_fn, mask_nnz_fn, round_result_cap
+                w = arr.shape[1]
+                if use_mesh:
+                    mask_dev, shard_nnz_dev = _run(
+                        sharded_mask_nnz_fn(the_mesh, w), arr, np.int32(rows)
+                    )
+                    shard_nnz = np.asarray(shard_nnz_dev)  # tiny fetch sizes capacity
+                    pack_caps[cap_key] = max(pack_caps[cap_key], round_result_cap(int(shard_nnz.max())))
+                    cap_b = pack_caps[cap_key]
+                    if mask_dev.size * 4 + n_dev * cap_b * 4 >= arr.nbytes:
+                        return None
+                    vals_dev = _run(sharded_compact_fn(the_mesh, cap_b), arr, np.int32(rows))
+                    return ("packed_mesh", mask_dev, vals_dev, shard_nnz)
+                mask_dev, nnz_dev = _run(mask_nnz_fn(w), arr, np.int32(rows))
+                nnz_val = int(nnz_dev)
+                pack_caps[cap_key] = max(pack_caps[cap_key], round_result_cap(nnz_val))
+                cap_b = pack_caps[cap_key]
+                if mask_dev.size * 4 + cap_b * 4 >= arr.nbytes:
+                    return None
+                vals_dev = _run(compact_fn(cap_b), arr, np.int32(rows))
+                return ("packed", mask_dev, vals_dev, nnz_val)
 
-                mask_dev, nnz_dev = _run(mask_nnz_fn(plan.n_windows), x_res, np.int32(rows))
-                nnz_val = int(nnz_dev)  # tiny fetch sizes the value capacity
-                pack_cap = max(pack_cap, round_result_cap(nnz_val))
-                if mask_dev.size * 4 + pack_cap * 4 < x_res.nbytes:
-                    vals_dev = _run(compact_fn(pack_cap), x_res, np.int32(rows))
-                    payload_arrs = (mask_dev, vals_dev)
-                    new_pending = ("packed", (mask_dev, vals_dev, nnz_val), gene_res, rows, start)
-            if new_pending is None:
-                payload_arrs = (x_res,)
-                new_pending = ("dense", x_res, gene_res, rows, start)
-            for arr in (*payload_arrs, gene_res):
-                if arr is not None and hasattr(arr, "copy_to_host_async"):
-                    arr.copy_to_host_async()
+            x_payload = (_try_pack(x_res, "x") if use_result_pack else None) or ("dense", x_res)
+            if calculate_gene_values:
+                g_payload = (_try_pack(gene_res, "gene") if use_result_pack else None) or ("dense", gene_res)
+            else:
+                g_payload = None
+            for payload in (x_payload, g_payload):
+                if payload is None:
+                    continue
+                for arr in payload[1:3]:
+                    if hasattr(arr, "copy_to_host_async"):
+                        arr.copy_to_host_async()
             if pending is not None:
                 _materialize(pending)
-            pending = new_pending
+            pending = (x_payload, g_payload, rows, start)
             done_cells += stop - start
             _progress(done_cells)
         if pending is not None:

@@ -119,6 +119,20 @@ def test_packed_forced_without_gate():
     npt.assert_array_equal(np.asarray(dense.todense()), np.asarray(packed.todense()))
 
 
+def test_gene_matrix_packs_too():
+    """Gene-values mode's (much larger) per-gene matrix ships packed as well."""
+    expr, var, ref = _toy(n_cells=96)
+    kw = dict(KW, calculate_gene_values=True)
+    s_on, s_off = {}, {}
+    _, r1, g1 = _infercnv_compute(expr, var, ref, stats=s_on, mesh=False, **kw)
+    _, r2, g2 = _infercnv_compute(expr, var, ref, stats=s_off, mesh=False, compress_results=False, **kw)
+    assert s_on["d2h_bytes"] < 0.7 * s_off["d2h_bytes"]
+    m = ~np.isnan(g1)
+    npt.assert_array_equal(m, ~np.isnan(g2))
+    npt.assert_array_equal(g1[m], g2[m])
+    assert (r1 != r2).nnz == 0
+
+
 def test_packed_with_gene_values_and_checkpoint(tmp_path):
     expr, var, ref = _toy()
     kw = dict(KW, calculate_gene_values=True)
