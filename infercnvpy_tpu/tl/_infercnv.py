@@ -527,37 +527,39 @@ def _infercnv_compute(
         if timing:
             stats[key] = stats.get(key, 0.0) + (_time.perf_counter() - t0)
 
-    def _fetch(payload):
-        """Device payload -> host tuple (same kind tag, numpy buffers)."""
+    def _fetch(payload, rows):
+        """Device payload -> host tuple (same kind tag, numpy buffers);
+        dense payloads slice to the real rows so byte accounting matches."""
         kind = payload[0]
         if kind in ("packed", "packed_mesh"):
             _, mask_dev, vals_dev, nnz_val = payload
             mask_np = np.asarray(mask_dev)
             vals_np = np.asarray(vals_dev)
             return (kind, mask_np, vals_np, nnz_val), mask_np.nbytes + vals_np.nbytes
-        arr = np.asarray(payload[1])
+        arr = np.asarray(payload[1])[:rows]
         return (kind, arr), arr.nbytes
 
-    def _to_csr(fetched, width, rows):
-        """Host payload -> CSR sliced to the real rows."""
+    def _to_csr(fetched, n_cols, rows):
+        """Host payload -> (rows, n_cols) CSR of the result matrix."""
         kind = fetched[0]
         if kind == "packed_mesh":
             from ..ops.result_pack import sharded_mask_vals_to_csr
 
-            return sharded_mask_vals_to_csr(fetched[1], fetched[2], fetched[3], width)[:rows]
+            return sharded_mask_vals_to_csr(fetched[1], fetched[2], fetched[3], n_cols)[:rows]
         if kind == "packed":
             from ..ops.result_pack import mask_vals_to_csr
 
-            return mask_vals_to_csr(fetched[1], fetched[2][: fetched[3]], width)[:rows]
-        return _dense_to_csr(fetched[1][:rows])
+            return mask_vals_to_csr(fetched[1], fetched[2][: fetched[3]], n_cols)[:rows]
+        return _dense_to_csr(fetched[1])
 
     def _materialize(pending):
         x_payload, g_payload, rows, start = pending
         t0 = _tick()
-        fx, x_bytes = _fetch(x_payload)
+        fx, x_bytes = _fetch(x_payload, rows)
+        fg = None
         g_bytes = 0
         if g_payload is not None:
-            fg, g_bytes = _fetch(g_payload)
+            fg, g_bytes = _fetch(g_payload, rows)
         if timing:
             stats["d2h_bytes"] = stats.get("d2h_bytes", 0) + x_bytes + g_bytes
         _tock("d2h_sec", t0)
@@ -565,9 +567,9 @@ def _infercnv_compute(
         mat = _to_csr(fx, plan.n_windows, rows)
         res_parts.append(mat)
         g_np = None
-        if calculate_gene_values:
+        if fg is not None:
             if fg[0] == "dense":
-                g_np = fg[1][:rows]
+                g_np = fg[1]
             else:
                 # per-gene values are consumed (and checkpointed) dense
                 g_np = _to_csr(fg, n_gene_cols, rows).toarray()
@@ -756,6 +758,36 @@ def _infercnv_compute(
 
     pack_caps = {"x": 0, "gene": 0}
 
+    def _try_pack(arr, cap_key, rows):
+        """Pack one result matrix; None when dense would ship fewer bytes
+        (skewed shard survivors / ungated dense results)."""
+        from ..ops.result_pack import (
+            compact_fn,
+            mask_nnz_fn,
+            round_result_cap,
+            sharded_compact_fn,
+            sharded_mask_nnz_fn,
+        )
+
+        w = arr.shape[1]
+        if use_mesh:
+            mask_dev, shard_nnz_dev = _run(sharded_mask_nnz_fn(the_mesh, w), arr, np.int32(rows))
+            shard_nnz = np.asarray(shard_nnz_dev)  # tiny fetch sizes capacity
+            pack_caps[cap_key] = max(pack_caps[cap_key], round_result_cap(int(shard_nnz.max())))
+            cap_b = pack_caps[cap_key]
+            if mask_dev.size * 4 + n_dev * cap_b * 4 >= arr.nbytes:
+                return None
+            vals_dev = _run(sharded_compact_fn(the_mesh, cap_b), arr, np.int32(rows))
+            return ("packed_mesh", mask_dev, vals_dev, shard_nnz)
+        mask_dev, nnz_dev = _run(mask_nnz_fn(w), arr, np.int32(rows))
+        nnz_val = int(nnz_dev)
+        pack_caps[cap_key] = max(pack_caps[cap_key], round_result_cap(nnz_val))
+        cap_b = pack_caps[cap_key]
+        if mask_dev.size * 4 + cap_b * 4 >= arr.nbytes:
+            return None
+        vals_dev = _run(compact_fn(cap_b), arr, np.int32(rows))
+        return ("packed", mask_dev, vals_dev, nnz_val)
+
     try:
         pending = None
         done_cells = 0
@@ -792,41 +824,11 @@ def _infercnv_compute(
                 )
             else:
                 x_res, gene_res = _run(_get_fn(), operands[0], ref_dev, chunk_ids)
-            def _try_pack(arr, cap_key):
-                """Pack one result matrix; None when dense would ship fewer
-                bytes (skewed shard survivors / ungated dense results)."""
-                from ..ops.result_pack import (
-                    compact_fn,
-                    mask_nnz_fn,
-                    round_result_cap,
-                    sharded_compact_fn,
-                    sharded_mask_nnz_fn,
-                )
-
-                w = arr.shape[1]
-                if use_mesh:
-                    mask_dev, shard_nnz_dev = _run(
-                        sharded_mask_nnz_fn(the_mesh, w), arr, np.int32(rows)
-                    )
-                    shard_nnz = np.asarray(shard_nnz_dev)  # tiny fetch sizes capacity
-                    pack_caps[cap_key] = max(pack_caps[cap_key], round_result_cap(int(shard_nnz.max())))
-                    cap_b = pack_caps[cap_key]
-                    if mask_dev.size * 4 + n_dev * cap_b * 4 >= arr.nbytes:
-                        return None
-                    vals_dev = _run(sharded_compact_fn(the_mesh, cap_b), arr, np.int32(rows))
-                    return ("packed_mesh", mask_dev, vals_dev, shard_nnz)
-                mask_dev, nnz_dev = _run(mask_nnz_fn(w), arr, np.int32(rows))
-                nnz_val = int(nnz_dev)
-                pack_caps[cap_key] = max(pack_caps[cap_key], round_result_cap(nnz_val))
-                cap_b = pack_caps[cap_key]
-                if mask_dev.size * 4 + cap_b * 4 >= arr.nbytes:
-                    return None
-                vals_dev = _run(compact_fn(cap_b), arr, np.int32(rows))
-                return ("packed", mask_dev, vals_dev, nnz_val)
-
-            x_payload = (_try_pack(x_res, "x") if use_result_pack else None) or ("dense", x_res)
+            x_payload = (_try_pack(x_res, "x", rows) if use_result_pack else None) or ("dense", x_res)
             if calculate_gene_values:
-                g_payload = (_try_pack(gene_res, "gene") if use_result_pack else None) or ("dense", gene_res)
+                g_payload = (_try_pack(gene_res, "gene", rows) if use_result_pack else None) or (
+                    "dense", gene_res
+                )
             else:
                 g_payload = None
             for payload in (x_payload, g_payload):

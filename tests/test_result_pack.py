@@ -108,6 +108,14 @@ def test_packed_on_mesh_matches_dense():
     npt.assert_allclose(
         np.asarray(packed.todense()), np.asarray(single.todense()), rtol=1e-5, atol=1e-6
     )
+    # gene-values matrix packs per-shard too (packed_mesh gene payloads)
+    kwg = dict(KW, calculate_gene_values=True)
+    _, rd, gd = _infercnv_compute(expr, var, ref, mesh=None, compress_results=False, **kwg)
+    _, rp, gp = _infercnv_compute(expr, var, ref, mesh=None, compress_results=True, **kwg)
+    assert (rd != rp).nnz == 0
+    m = ~np.isnan(gd)
+    npt.assert_array_equal(m, ~np.isnan(gp))
+    npt.assert_array_equal(gd[m], gp[m])
 
 
 def test_packed_forced_without_gate():
